@@ -1,0 +1,295 @@
+"""Attention: XLA reference implementation + Pallas TPU flash kernel.
+
+One attention surface serves the whole framework (VLM causal prefill, the
+pi0/DM0 mixture-of-transformers joint attention, and suffix-vs-frozen-cache
+denoise steps).  Instead of materializing [B, S, S] boolean masks, callers
+pass per-token *attention group* integers (the cumsum of the reference's
+``ar_mask``, /root/reference/dexbotic/model/dm0/dm0_utils.py:12-41): query i
+may attend key j iff ``kv_grp[j] <= q_grp[i]`` and key j is valid.  The Pallas
+kernel rebuilds the mask on the fly from those ints, so HBM traffic stays
+O(S·D) rather than O(S²).
+
+Layout convention: q [B, Sq, Hq, D]; k/v [B, Skv, Hkv, D] with Hq % Hkv == 0
+(grouped-query attention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dexbotic_tpu.constants import MASKED_BIAS
+
+_NEG_INF = MASKED_BIAS
+
+
+def _grp_from_positions(seq_len: int, batch: int) -> jnp.ndarray:
+    """Causal grouping: every token opens a new group."""
+    return jnp.broadcast_to(jnp.arange(1, seq_len + 1, dtype=jnp.int32), (batch, seq_len))
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation
+# ---------------------------------------------------------------------------
+
+
+def attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_grp: jnp.ndarray,
+    kv_grp: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Plain-XLA grouped-query attention with group-int masking.
+
+    fp32 softmax accumulation; returns q.dtype.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    group = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if group > 1:
+        kf = jnp.repeat(kf, group, axis=2)
+        vf = jnp.repeat(vf, group, axis=2)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    allowed = (kv_grp[:, None, :] <= q_grp[:, :, None]) & kv_valid[:, None, :].astype(
+        bool
+    )
+    scores = jnp.where(allowed[:, None, :, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU flash attention
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    # scalar-prefetch free kernel; refs ordered (inputs..., outputs..., scratch...)
+    q_grp_ref,  # [1, 1, BQ] int32
+    kv_grp_ref,  # [1, 1, BK] int32
+    kv_valid_ref,  # [1, 1, BK] int32
+    q_ref,  # [1, 1, BQ, D]
+    k_ref,  # [1, 1, BK, D]
+    v_ref,  # [1, 1, BK, D]
+    o_ref,  # [1, 1, BQ, D]
+    m_scr,  # [BQ, 128] fp32 running max (col-broadcast)
+    l_scr,  # [BQ, 128] fp32 running denom
+    acc_scr,  # [BQ, D] fp32 accumulator
+    *,
+    kv_blocks: int,
+    scale: float,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+    k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+    v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+
+    scores = jax.lax.dot_general(
+        q * scale,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, BK]
+
+    qg = jnp.transpose(q_grp_ref[0])  # [BQ, 1]
+    kg = kv_grp_ref[0]  # [1, BK]
+    valid = kv_valid_ref[0]  # [1, BK]
+    allowed = (kg <= qg) & (valid > 0)  # [BQ, BK]
+    scores = jnp.where(allowed, scores, _NEG_INF)
+
+    m_prev = m_scr[:, :1]  # [BQ, 1]
+    m_cur = jnp.max(scores, axis=-1, keepdims=True)  # [BQ, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    # Guard fully-masked rows: exp(-inf - -inf) would be NaN.
+    p = jnp.exp(scores - m_new)  # [BQ, BK]
+    p = jnp.where(allowed, p, 0.0)
+    correction = jnp.exp(m_prev - m_new)
+    correction = jnp.where(m_prev == _NEG_INF, 0.0, correction)  # first block
+    l_new = correction * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == kv_blocks - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_grp: jnp.ndarray,
+    kv_grp: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 128,
+    block_kv: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas flash attention with group-int block-causal masking.
+
+    Same contract as :func:`attention_xla`.  Sequence lengths are padded to
+    block multiples internally; padded keys are marked invalid and padded
+    query rows are sliced off.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    if scale is None:
+        scale = D**-0.5
+
+    # Clamp the q block for short suffix sequences, keeping sublane alignment.
+    block_q = min(block_q, max(8, ((Sq + 7) // 8) * 8))
+    out_dtype = q.dtype
+
+    # Pad sequences to block multiples.
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_kv)
+    vp = _pad_to(v, 1, block_kv)
+    # Mask/grp operands carried as [B, 1, S] so TPU block shapes stay legal.
+    q_grp_p = _pad_to(q_grp.astype(jnp.int32), 1, block_q)[:, None, :]
+    kv_grp_p = _pad_to(kv_grp.astype(jnp.int32), 1, block_kv)[:, None, :]
+    kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), 1, block_kv, value=0)[:, None, :]
+
+    Sqp, Skvp = qp.shape[1], kp.shape[1]
+    qb, kb = Sqp // block_q, Skvp // block_kv
+
+    # [B, S, H, D] -> [B, H, S, D] so heads become a grid dim.
+    qt = jnp.transpose(qp, (0, 2, 1, 3))
+    kt = jnp.transpose(kp, (0, 2, 1, 3))
+    vt = jnp.transpose(vp, (0, 2, 1, 3))
+
+    grid = (B, Hq, qb, kb)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, kv_blocks=kb, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, D),
+                lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, D),
+                lambda b, h, i, j: (b, h // group, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, D),
+                lambda b, h, i, j: (b, h // group, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_grp_p, kv_grp_p, kv_valid_p, qt, kt, vt)
+
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :Sq]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def _tpu_ok(head_dim: int) -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:  # pragma: no cover
+        return False
+    return platform == "tpu" and head_dim % 128 == 0
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_grp: jnp.ndarray,
+    kv_grp: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch to the Pallas kernel on TPU (aligned head_dim) else XLA.
+
+    impl: 'auto' | 'pallas' | 'xla' | 'pallas_interpret'
+    """
+    if impl == "auto":
+        impl = "pallas" if _tpu_ok(q.shape[-1]) else "xla"
+    if impl == "xla":
+        return attention_xla(q, k, v, q_grp, kv_grp, kv_valid, scale)
+    if impl == "pallas":
+        return flash_attention(q, k, v, q_grp, kv_grp, kv_valid, scale)
+    if impl == "pallas_interpret":
+        return flash_attention(q, k, v, q_grp, kv_grp, kv_valid, scale, interpret=True)
+    raise ValueError(f"unknown attention impl: {impl}")
+
+
+def causal_attention(q, k, v, valid, scale=None, impl="auto"):
+    """Convenience: standard causal attention with a padding mask."""
+    B, S = valid.shape
+    grp = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    return attention(q, k, v, grp, grp, valid, scale=scale, impl=impl)
