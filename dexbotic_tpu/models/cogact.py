@@ -1,0 +1,161 @@
+"""CogACT policy: LLaVA-style VLM -> cognition feature -> DiT diffusion head.
+
+Behavior pinned to /root/reference/dexbotic/model/cogact/cogact_arch.py:
+  * cognition feature = last-unmasked hidden state of the LLM (:110-120)
+  * train: 4x-repeated diffusion MSE in fp32 (:124-135)
+  * inference: DDIM-10 with classifier-free guidance scale 1.5 via the
+    learned uncondition embedding (:149-198)
+TPU-native: the whole frame->chunk path (ViT encode + LLM prefill + DDIM
+scan) is one jittable function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dexbotic_tpu.models import dit as dit_mod
+from dexbotic_tpu.models.losses import causal_lm_loss
+from dexbotic_tpu.models.vlm import VLMConfig, gather_last_hidden, init_vlm, vlm_forward
+from dexbotic_tpu.nn.transformer import lm_logits
+from dexbotic_tpu.ops.diffusion import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class CogActConfig:
+    vlm: VLMConfig
+    action_model_type: str = "DiT-B"
+    action_dim: int = 7
+    chunk_size: int = 16
+    diffusion_steps: int = 100
+    repeated_diffusion_steps: int = 4
+    cfg_scale: float = 1.5
+    ddim_steps: int = 10
+
+    @property
+    def dit(self) -> dit_mod.DiTConfig:
+        return dit_mod.make_dit_config(
+            self.action_model_type,
+            token_size=self.vlm.llm.hidden_size,
+            action_dim=self.action_dim,
+            chunk_size=self.chunk_size,
+        )
+
+
+def init_cogact(key, cfg: CogActConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "vlm": init_vlm(k1, cfg.vlm, dtype),
+        "action_head": dit_mod.init_dit(k2, cfg.dit, jnp.float32),  # head stays fp32
+    }
+
+
+def _schedule(cfg: CogActConfig) -> DiffusionSchedule:
+    return DiffusionSchedule.create(cfg.diffusion_steps)
+
+
+def cognition_feature(params, cfg: CogActConfig, input_ids, valid, images, remat=False):
+    hidden, _ = vlm_forward(
+        params["vlm"], cfg.vlm, input_ids, valid, images=images, remat=remat
+    )
+    return gather_last_hidden(hidden, valid), hidden
+
+
+def cogact_loss(
+    params,
+    cfg: CogActConfig,
+    batch: dict,
+    rng: jax.Array,
+    remat: bool = False,
+    with_text_loss: bool = False,
+) -> tuple[jnp.ndarray, dict]:
+    """Training loss.  batch: input_ids, attention_mask, images, actions
+    [B, >=chunk, action_dim] (+labels / has_text / has_action for hybrid
+    co-training, hybrid_cogact_arch.py:126-198)."""
+    cog, hidden = cognition_feature(
+        params, cfg, batch["input_ids"], batch["attention_mask"], batch["images"],
+        remat=remat,
+    )
+    actions = batch["actions"].reshape(cog.shape[0], -1, cfg.action_dim)
+    actions = actions[:, : cfg.chunk_size].astype(jnp.float32)
+
+    rep = cfg.repeated_diffusion_steps
+    actions_rep = jnp.tile(actions, (rep, 1, 1))
+    cog_rep = jnp.tile(cog[:, None, :], (rep, 1, 1)).astype(jnp.float32)
+
+    k_drop, k_diff = jax.random.split(rng)
+    sched = _schedule(cfg)
+
+    def eps_fn(x_t, t):
+        return dit_mod.dit_forward(
+            params["action_head"], cfg.dit, x_t, t, cog_rep, drop_rng=k_drop
+        )
+
+    action_loss = sched.training_loss(eps_fn, actions_rep, k_diff)
+    metrics = {"action_loss": action_loss}
+    loss = action_loss
+
+    if with_text_loss:
+        logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hidden)
+        has_text = batch.get("has_text")
+        text_loss = causal_lm_loss(logits, batch["labels"])
+        if has_text is not None:
+            text_loss = text_loss * jnp.mean(has_text.astype(jnp.float32))
+        metrics["text_loss"] = text_loss
+        has_action = batch.get("has_action")
+        if has_action is not None:
+            loss = loss * jnp.mean(has_action.astype(jnp.float32))
+        loss = loss + text_loss
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def cogact_inference_action(
+    params,
+    cfg: CogActConfig,
+    input_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    images: jnp.ndarray,
+    rng: jax.Array,
+    cfg_scale: Optional[float] = None,
+    ddim_steps: Optional[int] = None,
+) -> jnp.ndarray:
+    """Frame -> normalized action chunk [B, chunk, action_dim]; one jit unit."""
+    cfg_scale = cfg.cfg_scale if cfg_scale is None else cfg_scale
+    ddim_steps = cfg.ddim_steps if ddim_steps is None else ddim_steps
+
+    cog, _ = cognition_feature(params, cfg, input_ids, valid, images)
+    B = cog.shape[0]
+    noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
+    sched = _schedule(cfg)
+    head = params["action_head"]
+
+    if cfg_scale > 1.0:
+        uncond = jnp.broadcast_to(head["uncondition"][None, None, :], (B, 1, cog.shape[-1]))
+        z = jnp.concatenate([cog[:, None, :].astype(jnp.float32), uncond.astype(jnp.float32)], axis=0)
+        noise2 = jnp.concatenate([noise, noise], axis=0)
+
+        def eps_fn(x, t):
+            return dit_mod.dit_forward_with_cfg(head, cfg.dit, x, t, z, cfg_scale)
+
+        samples = sched.ddim_sample(eps_fn, noise2, ddim_steps)
+        samples = samples[:B]
+    else:
+        z = cog[:, None, :].astype(jnp.float32)
+
+        def eps_fn(x, t):
+            return dit_mod.dit_forward(head, cfg.dit, x, t, z)
+
+        samples = sched.ddim_sample(eps_fn, noise, ddim_steps)
+    return samples
+
+
+def denorm_actions(actions: jnp.ndarray, low, high) -> jnp.ndarray:
+    """[-1, 1]-normalized -> robot units (dexbotic_arch.py:552-563)."""
+    actions = jnp.clip(actions, -1.0, 1.0)
+    low = jnp.asarray(low)[None, :]
+    high = jnp.asarray(high)[None, :]
+    return low + (actions + 1.0) * 0.5 * (high - low)

@@ -18,20 +18,16 @@ from dexbotic_tpu.ops.norms import layer_norm
 
 def init_projector(key, projector_type: str, mm_hidden: int, hidden: int, dtype=jnp.float32):
     if projector_type == "linear":
-        return {"type": projector_type, "fc": core.linear_init(key, mm_hidden, hidden, True, dtype)}
+        return {"fc": core.linear_init(key, mm_hidden, hidden, True, dtype)}
 
     m = re.match(r"^linear(\d+)x$", projector_type)
     if m:
         mult = int(m.group(1))
-        return {
-            "type": projector_type,
-            "fc": core.linear_init(key, mm_hidden * mult, hidden, False, dtype),
-        }
+        return {"fc": core.linear_init(key, mm_hidden * mult, hidden, False, dtype)}
 
     if projector_type == "mlp_downsample":
         ks = jax.random.split(key, 2)
         return {
-            "type": projector_type,
             "ln": {
                 "w": jnp.ones((mm_hidden * 4,), jnp.float32),
                 "b": jnp.zeros((mm_hidden * 4,), jnp.float32),
@@ -44,7 +40,7 @@ def init_projector(key, projector_type: str, mm_hidden: int, hidden: int, dtype=
     if m:
         depth = int(m.group(1))
         ks = jax.random.split(key, depth)
-        p = {"type": projector_type, "fc0": core.linear_init(ks[0], mm_hidden, hidden, True, dtype)}
+        p = {"fc0": core.linear_init(ks[0], mm_hidden, hidden, True, dtype)}
         for i in range(1, depth):
             p[f"fc{i}"] = core.linear_init(ks[i], hidden, hidden, True, dtype)
         return p
@@ -70,8 +66,8 @@ def _downsample_2x2(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, (g // 2) ** 2, C * 4)
 
 
-def apply_projector(params, x: jnp.ndarray) -> jnp.ndarray:
-    t = params["type"]
+def apply_projector(params, x: jnp.ndarray, projector_type: str) -> jnp.ndarray:
+    t = projector_type
     if t == "linear" or re.match(r"^linear(\d+)x$", t):
         return core.linear(params["fc"], x)
     if t == "mlp_downsample":

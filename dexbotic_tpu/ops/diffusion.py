@@ -1,0 +1,121 @@
+"""Gaussian diffusion schedule + DDIM sampling as compiled lax loops.
+
+Reimplements the behavior of the reference's OpenAI-style diffusion
+(/root/reference/dexbotic/model/cogact/action_model/diffusion.py):
+squaredcos_cap_v2 betas, epsilon prediction, MSE loss, "ddimN" respacing with
+eta=0 — but the sampler is a single `lax.scan` inside one compiled program
+instead of a Python loop of device launches (SURVEY.md §2.9 item 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cosine_betas(num_steps: int, max_beta: float = 0.999) -> np.ndarray:
+    """squaredcos_cap_v2 schedule (diffusion.py:205-231 behavior)."""
+
+    def alpha_bar(t):
+        return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+    betas = []
+    for i in range(num_steps):
+        t1, t2 = i / num_steps, (i + 1) / num_steps
+        betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+    return np.array(betas, dtype=np.float64)
+
+
+def ddim_timesteps(num_steps: int, ddim_steps: int) -> np.ndarray:
+    """DDIM-paper fixed striding (space_timesteps, diffusion.py:1012-1021)."""
+    if ddim_steps == 1:
+        return np.array([num_steps // 2])
+    for stride in range(1, num_steps):
+        if len(range(0, num_steps, stride)) == ddim_steps:
+            return np.array(sorted(range(0, num_steps, stride)))
+    raise ValueError(f"cannot stride {num_steps} into {ddim_steps} DDIM steps")
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    num_steps: int
+    alphas_cumprod: np.ndarray  # float64 [T]
+
+    @classmethod
+    def create(cls, num_steps: int = 100) -> "DiffusionSchedule":
+        betas = cosine_betas(num_steps)
+        return cls(num_steps=num_steps, alphas_cumprod=np.cumprod(1.0 - betas))
+
+    def q_sample(self, x0: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+        """x_t = sqrt(ab_t) x0 + sqrt(1-ab_t) eps;  t int[B]."""
+        ab = jnp.asarray(self.alphas_cumprod, jnp.float32)[t]
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        ab = ab.reshape(shape)
+        return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+    def training_loss(self, eps_fn, x0: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """Epsilon-prediction MSE at uniformly sampled t (fp32)."""
+        k_t, k_n = jax.random.split(rng)
+        B = x0.shape[0]
+        t = jax.random.randint(k_t, (B,), 0, self.num_steps)
+        noise = jax.random.normal(k_n, x0.shape, jnp.float32)
+        x_t = self.q_sample(x0.astype(jnp.float32), t, noise)
+        eps_pred = eps_fn(x_t, t)
+        return jnp.mean(jnp.square(eps_pred.astype(jnp.float32) - noise))
+
+    def ddim_sample(
+        self,
+        eps_fn,
+        noise: jnp.ndarray,
+        ddim_steps: int = 10,
+    ) -> jnp.ndarray:
+        """Deterministic DDIM (eta=0, clip_denoised=False) as one lax.scan.
+
+        eps_fn(x, t_orig[B]) -> eps; t_orig are ORIGINAL-process timesteps
+        (the respaced model wrapper's timestep_map behavior).
+        """
+        kept = ddim_timesteps(self.num_steps, ddim_steps)
+        ab = np.asarray(self.alphas_cumprod)[kept]  # [N]
+        ab_prev = np.concatenate([[1.0], ab[:-1]])
+        ts = jnp.asarray(kept, jnp.int32)
+        ab = jnp.asarray(ab, jnp.float32)
+        ab_prev = jnp.asarray(ab_prev, jnp.float32)
+        B = noise.shape[0]
+
+        def step(x, i):
+            t = jnp.full((B,), ts[i], jnp.int32)
+            eps = eps_fn(x, t).astype(jnp.float32)
+            a, a_prev = ab[i], ab_prev[i]
+            pred_x0 = (x - jnp.sqrt(1.0 - a) * eps) / jnp.sqrt(a)
+            x_next = pred_x0 * jnp.sqrt(a_prev) + jnp.sqrt(1.0 - a_prev) * eps
+            return x_next, None
+
+        x, _ = jax.lax.scan(step, noise.astype(jnp.float32), jnp.arange(ddim_steps - 1, -1, -1))
+        return x
+
+
+def flow_euler_sample(
+    v_fn,
+    noise: jnp.ndarray,
+    num_steps: int = 10,
+) -> jnp.ndarray:
+    """pi0/DM0 flow-matching Euler integrator as one lax.scan.
+
+    Integrates x' = v(x, t) from t=1 -> 0 with dt = -1/num_steps, matching
+    the reference's `while time > -dt/2` loop
+    (/root/reference/dexbotic/model/pi0/pi0_arch.py:486-489).
+    v_fn(x, t_scalar) -> v.
+    """
+    dt = -1.0 / num_steps
+
+    def step(carry, _):
+        x, t = carry
+        v = v_fn(x, t)
+        return (x + v * dt, t + dt), None
+
+    (x, _), _ = jax.lax.scan(step, (noise, jnp.asarray(1.0, noise.dtype)), None, length=num_steps)
+    return x

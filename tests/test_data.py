@@ -1,0 +1,310 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dexbotic_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from dexbotic_tpu.data import transforms as T
+from dexbotic_tpu.data.collator import Collator
+from dexbotic_tpu.data.dexdata import DexDataset
+from dexbotic_tpu.data.image_processing import (
+    ImageProcessorConfig,
+    PreprocessRGB,
+    expand2square,
+    preprocess_image,
+)
+from dexbotic_tpu.data.normalize import (
+    NormStats,
+    RunningStats,
+    deserialize_json,
+    serialize_json,
+)
+from dexbotic_tpu.data.registry import CONVERSATION_DATA, register_dataset
+from dexbotic_tpu.tokenization.tokenize import (
+    LLMTokenization,
+    SimpleTokenizer,
+    tokenize_dexbotic,
+    tokenizer_image_token,
+)
+
+
+# ---------------------------------------------------------------- transforms
+
+
+def _episode(n=6, d=3):
+    state = np.arange(n * d, dtype=np.float64).reshape(n, d)
+    return {
+        "state": state,
+        "prompt": [f"do the thing"] * n,
+        "is_robot": [True] * n,
+        "meta_data": {"non_delta_mask": [2], "periodic_mask": None, "periodic_range": None,
+                      "dataset": "test"},
+    }
+
+
+def test_add_action_shifts_state():
+    ep = T.AddAction(predict_length=1)(_episode())
+    np.testing.assert_array_equal(ep["action"], ep["abs_action"])
+    np.testing.assert_array_equal(ep["action"][0], [3, 4, 5])
+    assert len(ep["state"]) == len(ep["action"]) == 5
+
+
+def test_delta_action_non_delta_mask():
+    ep = T.AddAction(1)(_episode())
+    ep = T.DeltaAction(enable=True)(ep)
+    # delta dims are state[t+1]-state[t] = 3; non-delta dim 2 keeps absolute
+    np.testing.assert_array_equal(ep["action"][0], [3, 3, 5])
+
+
+def test_delta_action_periodic_wrap():
+    ep = _episode(3, 2)
+    ep["meta_data"].update(periodic_mask=[0], periodic_range=2 * np.pi, non_delta_mask=None)
+    ep["state"] = np.array([[3.0, 0.0], [-3.0, 1.0], [3.0, 2.0]])
+    ep = T.AddAction(1)(ep)
+    ep = T.DeltaAction(enable=True)(ep)
+    # -3 - 3 = -6 -> wraps to -6 + 2pi ~= 0.283
+    np.testing.assert_allclose(ep["action"][0, 0], -6 + 2 * np.pi, rtol=1e-6)
+
+
+def test_add_trajectory_last_padding():
+    ep = T.AddAction(1)(_episode(4, 2))  # 3 actions
+    ep = T.AddTrajectory(trajectory_length=3, flatten=False, padding_action=True)(ep)
+    traj = ep["trajectory"]
+    assert traj.shape == (3, 3, 2)
+    # last row pads with final action
+    np.testing.assert_array_equal(traj[2, 0], traj[2, 1])
+
+
+def test_add_trajectory_flatten():
+    ep = T.AddAction(1)(_episode(5, 2))
+    ep = T.AddTrajectory(trajectory_length=2, flatten=True, padding_action=True)(ep)
+    assert ep["action"].shape == (4, 4)
+
+
+def test_action_norm_and_2string():
+    ep = T.AddAction(1)(_episode())
+    t = T.ActionNormAnd2String(
+        statistic_mapping={"default": {"min": [0, 0, 0], "max": [15, 15, 15]}},
+        vocab_size=255,
+    )
+    ep = t(ep)
+    assert ep["action"].min() >= -1 and ep["action"].max() <= 1
+    assert isinstance(ep["answer"][0], str) and len(ep["answer"][0].split()) == 3
+
+
+def test_prompt_template():
+    ep = _episode()
+    ep = T.AddPromptTemplate()(ep)
+    assert ep["prompt"][0] == "<image>\nWhat action should the robot take to do the thing?"
+
+
+def test_pipeline_hoists_attrs():
+    pipe = T.Pipeline([T.AddAction(predict_length=3)])
+    assert pipe.predict_length == 3
+
+
+def test_to_dict_to_list_roundtrip():
+    frames = [{"a": i, "b": f"s{i}"} for i in range(3)]
+    ep = T.ToDict()(frames, meta_data={"x": 1})
+    ep["prompt"] = ["p"] * 3
+    out = T.ToList()(ep)
+    assert out[1]["a"] == 1 and out[2]["b"] == "s2"
+
+
+def test_output_transforms():
+    data = {
+        "action": np.array([[0.5, 0.5]]),
+        "state": np.array([1.0, 2.0]),
+        "meta_data": {"non_delta_mask": [1], "periodic_mask": None, "periodic_range": None},
+    }
+    out = T.AbsoluteAction()(dict(data))
+    np.testing.assert_allclose(out["action"], [[1.5, 0.5]])
+    den = T.ActionDenorm({"default": {"min": [0, 0], "max": [10, 10]}})(
+        {"action": np.array([[0.0, 1.0]])}
+    )
+    np.testing.assert_allclose(den["action"], [[5.0, 10.0]])
+
+
+# ---------------------------------------------------------------- normalize
+
+
+def test_running_stats_vs_numpy():
+    rng = np.random.RandomState(0)
+    data = rng.randn(5000, 3) * [1, 5, 0.1] + [0, 10, -2]
+    rs = RunningStats()
+    for i in range(0, 5000, 500):
+        rs.update(data[i : i + 500])
+    st = rs.get_statistics()
+    np.testing.assert_allclose(st.mean, data.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(st.std, data.std(0), rtol=1e-6)
+    np.testing.assert_allclose(st.min, data.min(0), rtol=1e-6)
+    np.testing.assert_allclose(st.max, data.max(0), rtol=1e-6)
+    np.testing.assert_allclose(st.q01, np.quantile(data, 0.01, axis=0), atol=0.05)
+    np.testing.assert_allclose(st.q99, np.quantile(data, 0.99, axis=0), atol=0.05)
+
+
+def test_norm_stats_json_roundtrip():
+    st = NormStats(mean=np.array([1.0]), std=np.array([2.0]), q01=np.array([0.1]),
+                   q99=np.array([9.9]), min=np.array([0.0]), max=np.array([10.0]))
+    s = serialize_json({"default": st})
+    back = deserialize_json(s)
+    np.testing.assert_allclose(back["default"].q99, [9.9])
+
+
+# ---------------------------------------------------------------- images
+
+
+def test_expand2square():
+    img = np.ones((4, 8, 3), np.uint8) * 200
+    sq = expand2square(img, (0, 0, 0))
+    assert sq.shape == (8, 8, 3)
+    assert (sq[0] == 0).all() and (sq[2] == 200).all()
+
+
+def test_preprocess_image_normalization():
+    cfg = ImageProcessorConfig(size=8, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    img = np.full((8, 8, 3), 255, np.uint8)
+    out = preprocess_image(img, cfg)
+    np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+    assert out.shape == (8, 8, 3)
+
+
+def test_preprocess_rgb_none_gives_zeros():
+    pp = PreprocessRGB(ImageProcessorConfig(size=8))
+    out = pp(None)
+    assert out.shape == (8, 8, 3) and (out == 0).all()
+
+
+# ---------------------------------------------------------------- tokenizer
+
+
+def test_simple_tokenizer_roundtrip():
+    tok = SimpleTokenizer()
+    ids = tok.encode("hello <|endoftext|>")
+    assert ids[0] == tok.bos_token_id
+    assert tok.decode(ids) == "hello <|endoftext|>"
+
+
+def test_tokenizer_image_token_expansion():
+    tok = SimpleTokenizer()
+    ids1 = tokenizer_image_token("<image>\nhi", tok, num_image_tokens=1)
+    ids4 = tokenizer_image_token("<image>\nhi", tok, num_image_tokens=4)
+    assert ids1.count(IMAGE_TOKEN_INDEX) == 1
+    assert ids4.count(IMAGE_TOKEN_INDEX) == 4
+    # non-image tokens identical
+    assert [i for i in ids1 if i != IMAGE_TOKEN_INDEX] == [
+        i for i in ids4 if i != IMAGE_TOKEN_INDEX
+    ]
+
+
+def test_tokenize_dexbotic_masks_instruction():
+    tok = SimpleTokenizer()
+    conv = [[{"from": "human", "value": "<image>\ndo x"}, {"from": "gpt", "value": "42"}]]
+    out = tokenize_dexbotic(conv, tok, has_image=True, num_image_tokens=2)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert (ids == IMAGE_TOKEN_INDEX).sum() == 2
+    # instruction span masked, answer span not
+    assert (labels == IGNORE_INDEX).sum() > 0
+    kept = labels[labels != IGNORE_INDEX]
+    assert len(kept) > 0
+    assert "42" in tok.decode([i for i in kept])
+
+
+def test_llm_tokenization_wrapper():
+    tok = SimpleTokenizer()
+    f = LLMTokenization(tok)
+    out = f(conversations=[{"from": "human", "value": "<image>\ngo"}, {"from": "gpt", "value": "ok"}])
+    assert out["input_ids"].ndim == 1
+
+
+# ---------------------------------------------------------------- collator
+
+
+def test_collator_fixed_shapes():
+    c = Collator(pad_token_id=0, max_length=10)
+    batch = c(
+        [
+            {"input_ids": np.array([1, 2, 3]), "labels": np.array([1, 2, 3]),
+             "image": np.zeros((4, 4, 3)), "action": np.ones((2, 7))},
+            {"input_ids": np.array([4, 5]), "labels": np.array([IGNORE_INDEX, 5]),
+             "image": np.zeros((4, 4, 3)), "action": np.ones((2, 7))},
+        ]
+    )
+    assert batch["input_ids"].shape == (2, 10)
+    assert batch["attention_mask"].sum() == 5
+    assert batch["actions"].shape == (2, 2, 7)
+    assert batch["labels"][1, 2] == IGNORE_INDEX
+
+
+# ---------------------------------------------------------------- dexdata
+
+
+@pytest.fixture
+def dexdata_root(tmp_path):
+    root = tmp_path / "testsuite" / "testsuite_mini"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for e in range(2):
+        lines = []
+        for t in range(8):
+            lines.append(json.dumps({
+                "images_1": {"type": "image", "url": f"ep{e}_f{t}.png"},
+                "state": (rng.randn(7)).tolist(),
+                "prompt": "pick the cube",
+                "is_robot": True,
+            }))
+        (root / f"ep{e}.jsonl").write_text("\n".join(lines) + "\n")
+        # tiny pngs
+        from PIL import Image
+        for t in range(8):
+            Image.new("RGB", (16, 12), (e * 40, t * 10, 100)).save(root / f"ep{e}_f{t}.png")
+    register_dataset(
+        {"mini": {"data_path_prefix": str(root), "annotations": str(root), "frequency": 1}},
+        prefix="testsuite",
+        meta_data={"non_delta_mask": [6], "periodic_mask": None, "periodic_range": None},
+    )
+    return root
+
+
+def test_dexdataset_end_to_end(dexdata_root):
+    from dexbotic_tpu.data.multimodal import LoadMultiModal
+
+    tok = SimpleTokenizer(model_max_length=256)
+    pipeline = T.Pipeline([
+        T.ToDict(),
+        T.ToNumpy(),
+        T.AddAction(predict_length=1),
+        T.AddTrajectory(trajectory_length=4, flatten=False, padding_action=True),
+        T.ActionNormAnd2String(
+            statistic_mapping={"default": {"min": -3, "max": 3}}, add_answer=False),
+        LoadMultiModal(),
+        T.AddPromptTemplate(),
+        T.ReplaceAnswer(),
+        T.ToList(),
+    ])
+    def action_fn(episode, meta_data):
+        return pipeline(episode, meta_data=meta_data)
+    action_fn.predict_length = 1
+
+    ds = DexDataset(
+        dataset_name="testsuite_mini",
+        tokenization_func=LLMTokenization(tok, num_image_tokens=3),
+        action_process_func=action_fn,
+        image_process_func=PreprocessRGB(ImageProcessorConfig(size=16)),
+        data_keys=["input_ids", "labels", "action", "image", "state"],
+    )
+    assert len(ds) == 16
+    item = ds[0]
+    assert item["image"].shape == (16, 16, 3)
+    assert item["action"].shape == (4, 7)
+    assert (item["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 3
+    assert item["state"].shape == (7,)
+    # index cache written
+    assert (dexdata_root / "index_cache.json").exists()
+
+    # collate a batch
+    c = Collator(pad_token_id=tok.pad_token_id, max_length=64)
+    batch = c([ds[0], ds[5]])
+    assert batch["input_ids"].shape == (2, 64)
+    assert batch["images"].shape == (2, 16, 16, 3)

@@ -63,7 +63,7 @@ def test_projectors(ptype, in_tokens, expect_tokens):
     mm_h, h = 24, 40
     p = init_projector(jax.random.PRNGKey(0), ptype, mm_h, h)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, in_tokens, mm_h))
-    out = apply_projector(p, x)
+    out = apply_projector(p, x, ptype)
     assert out.shape == (2, expect_tokens, h)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -71,5 +71,5 @@ def test_projectors(ptype, in_tokens, expect_tokens):
 def test_linear_nx_projector():
     p = init_projector(jax.random.PRNGKey(0), "linear2x", 24, 40)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 48))
-    out = apply_projector(p, x)
+    out = apply_projector(p, x, "linear2x")
     assert out.shape == (2, 8, 40)
