@@ -1,0 +1,96 @@
+"""Optimizer construction: AdamW + cosine schedule + per-module LR groups.
+
+Mirrors the reference's OptimizerConfig semantics
+(/root/reference/dexbotic/exp/base_exp.py:64-203 and exp/trainer.py:25-36):
+distinct learning rates for mm_projector / mm_vision / action_head parameter
+groups, global grad-norm clipping 1.0, warmup + cosine decay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 2e-5
+    mm_projector_lr: Optional[float] = None
+    mm_vision_lr: Optional[float] = None
+    action_head_lr: Optional[float] = None
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_ratio: float = 0.03
+    lr_scheduler_type: str = "cosine"  # 'cosine' | 'constant' | 'linear'
+
+
+def _group_of(path: tuple) -> str:
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    if "projector" in keys or "mm_projector" in keys:
+        return "mm_projector"
+    if "vit" in keys or "mm_vision" in keys:
+        return "mm_vision"
+    if "action_head" in keys or "action_expert" in keys:
+        return "action_head"
+    return "base"
+
+
+def param_group_labels(params):
+    return jax.tree_util.tree_map_with_path(lambda p, x: _group_of(p), params)
+
+
+def make_schedule(cfg: OptimizerConfig, base_lr: float, total_steps: int):
+    warmup = max(1, int(cfg.warmup_ratio * total_steps))
+    if cfg.lr_scheduler_type == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warmup, max(total_steps, warmup + 1), end_value=0.0
+        )
+    if cfg.lr_scheduler_type == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, base_lr, warmup),
+                optax.linear_schedule(base_lr, 0.0, max(1, total_steps - warmup)),
+            ],
+            [warmup],
+        )
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base_lr, warmup), optax.constant_schedule(base_lr)],
+        [warmup],
+    )
+
+
+def build_optimizer(cfg: OptimizerConfig, params, total_steps: int):
+    """optax GradientTransformation with per-group LRs; freeze via lr=0."""
+    group_lrs = {
+        "base": cfg.learning_rate,
+        "mm_projector": cfg.mm_projector_lr or cfg.learning_rate,
+        "mm_vision": cfg.mm_vision_lr if cfg.mm_vision_lr is not None else cfg.learning_rate,
+        "action_head": cfg.action_head_lr or cfg.learning_rate,
+    }
+
+    def make_group(lr):
+        if lr == 0.0:
+            return optax.set_to_zero()
+        return optax.chain(
+            optax.adamw(
+                learning_rate=make_schedule(cfg, lr, total_steps),
+                b1=cfg.adam_beta1,
+                b2=cfg.adam_beta2,
+                eps=cfg.adam_eps,
+                weight_decay=cfg.weight_decay,
+            ),
+        )
+
+    labels = param_group_labels(params)
+    tx = optax.multi_transform(
+        {g: make_group(lr) for g, lr in group_lrs.items()}, labels
+    )
+    if cfg.max_grad_norm and cfg.max_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx

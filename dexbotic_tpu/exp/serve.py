@@ -1,0 +1,152 @@
+"""HTTP action server: POST /process_frame -> JSON action chunk.
+
+Protocol-compatible with the reference's Flask server
+(/root/reference/dexbotic/exp/base_exp.py:619-759): multipart form with
+'text' prompt, image file parts, optional 'states'/'batch_size'; response is
+a JSON [chunk_size x action_dim] list.  Implemented on stdlib http.server
+(Flask is not in this image); the model path is one jitted frame->chunk
+program.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+from email.parser import BytesParser
+from email.policy import HTTP
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from dexbotic_tpu.data.image_processing import expand2square, preprocess_image, to_numpy_image
+from dexbotic_tpu.models.cogact import denorm_actions
+from dexbotic_tpu.tokenization import conversation as conversation_lib
+from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
+
+
+def parse_multipart(headers: dict, body: bytes):
+    """Parse a multipart/form-data body -> (fields: dict, files: list[bytes])."""
+    ctype = headers.get("Content-Type", headers.get("content-type", ""))
+    if not ctype.startswith("multipart/form-data"):
+        try:
+            return json.loads(body.decode() or "{}"), []
+        except json.JSONDecodeError:
+            return {}, []
+    raw = b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
+    msg = BytesParser(policy=HTTP).parsebytes(raw)
+    fields, files = {}, []
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        filename = part.get_param("filename", header="content-disposition")
+        payload = part.get_payload(decode=True)
+        if filename:
+            files.append((name, payload))
+        else:
+            fields[name] = payload.decode()
+    return fields, files
+
+
+def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
+    """Images + raw task prompt -> (input_ids, valid, images) device arrays.
+
+    Mirrors the reference's serving path (exp/cogact_exp.py:145-167):
+    prompt template -> conversation template -> tokenizer_image_token;
+    image pad-to-square -> processor.
+    """
+    template = exp.action.prompt_template
+    text = template.format(prompt=prompt) if "{prompt}" in template else template
+    conv = conversation_lib.conv_templates[exp.tokenizer.chat_template].copy()
+    conv.append_message(conv.roles[0], text)
+    conv.append_message(conv.roles[1], None)
+    full = conv.get_prompt()
+    ids = tokenizer_image_token(
+        full, tokenizer, num_image_tokens=cfg.vlm.num_image_tokens
+    )
+    input_ids = jnp.asarray(ids, jnp.int32)[None]
+    valid = jnp.ones(input_ids.shape, jnp.int32)
+
+    proc = exp.data.build_image_processor()
+    arrs = []
+    for im in images:
+        arr = to_numpy_image(im if isinstance(im, (np.ndarray, Image.Image)) else Image.open(io.BytesIO(im)))
+        arr = expand2square(arr, tuple(int(x * 255) for x in proc.mean))
+        arrs.append(preprocess_image(arr, proc))
+    imgs = jnp.asarray(np.stack(arrs))[None]  # [1, n, H, W, 3]
+    return input_ids, valid, imgs
+
+
+class ActionServer:
+    """Generic one-model action server; subclass provides get_response()."""
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 7891):
+        self.host, self.port = host, port
+
+    def get_response(self, fields: dict, files: list) -> dict:
+        raise NotImplementedError
+
+    def make_handler(server_self):
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                if self.path.rstrip("/") != "/process_frame":
+                    self.send_error(404)
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                t0 = time.monotonic()
+                try:
+                    fields, files = parse_multipart(dict(self.headers), body)
+                    result = server_self.get_response(fields, files)
+                    payload = json.dumps(result).encode()
+                    self.send_response(200)
+                except Exception as e:  # noqa: BLE001
+                    payload = json.dumps({"error": str(e)}).encode()
+                    self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.send_header("X-Inference-Time", f"{time.monotonic() - t0:.4f}")
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *args):
+                pass
+
+        return Handler
+
+    def run(self):
+        httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        print(f"action server listening on {self.host}:{self.port}")
+        httpd.serve_forever()
+
+    def serve_background(self):
+        import threading
+
+        httpd = ThreadingHTTPServer((self.host, self.port), self.make_handler())
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd
+
+
+class CogActServer(ActionServer):
+    def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891):
+        super().__init__(host, port)
+        self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
+        self.infer = exp.make_infer_fn(cfg, params)
+        self.rng = jax.random.PRNGKey(0)
+
+    def get_response(self, fields, files):
+        prompt = fields.get("text", "")
+        images = [payload for _, payload in files]
+        ids, valid, imgs = prepare_cogact_inputs(
+            self.exp, self.cfg, self.tokenizer, images, prompt
+        )
+        self.rng, r = jax.random.split(self.rng)
+        out = np.asarray(jax.device_get(self.infer(ids, valid, imgs, r)))[0]
+        if self.norms is not None:
+            out = np.asarray(
+                denorm_actions(jnp.asarray(out), self.norms["min"], self.norms["max"])
+            )
+        return out.tolist()

@@ -1,0 +1,74 @@
+"""Device mesh + GSPMD sharding rules.
+
+Replaces the reference's DeepSpeed-ZeRO/DDP substrate (SURVEY.md §2.8) with
+XLA GSPMD: a ('data', 'model') mesh over ICI, fully-sharded parameters along
+'data' (the ZeRO-3 analogue — parameters are sharded at rest and all-gathered
+by XLA where used), batch sharded along 'data', optional tensor-parallel
+'model' axis for large LLMs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data parallelism for batch pytrees."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**14):
+    """Fully-sharded (ZeRO-3-style) PartitionSpecs for a param pytree.
+
+    Each leaf is sharded along its largest axis divisible by the 'data' mesh
+    size; small or indivisible leaves are replicated.  XLA inserts the
+    all-gathers/reduce-scatters (the GSPMD analogue of ZeRO-3's gather-on-use,
+    script/deepspeed/zero3.json in the reference).
+    """
+    n = mesh.shape["data"]
+
+    def spec_for(x):
+        if x.ndim == 0 or x.size < min_size or n == 1:
+            return P()
+        # prefer sharding the largest divisible axis
+        order = sorted(range(x.ndim), key=lambda a: -x.shape[a])
+        for axis in order:
+            if x.shape[axis] % n == 0:
+                spec = [None] * x.ndim
+                spec[axis] = "data"
+                return P(*spec)
+        return P()
+
+    return jax.tree.map(spec_for, params)
+
+
+def fsdp_shardings(params, mesh: Mesh, min_size: int = 2**14):
+    specs = fsdp_param_specs(params, mesh, min_size)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(params, mesh: Mesh, min_size: int = 2**14):
+    """Place a param pytree according to fsdp rules."""
+    shardings = fsdp_shardings(params, mesh, min_size)
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,102 @@
+"""End-to-end slice: CogActExp train -> checkpoint -> serve -> client."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dexbotic_tpu.data.registry import register_dataset
+
+
+@pytest.fixture(scope="module")
+def mini_suite(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data") / "mini" / "mini_all")
+    os.makedirs(root)
+    rng = np.random.RandomState(0)
+    for e in range(3):
+        lines = []
+        for t in range(12):
+            Image.new("RGB", (64, 48), (e * 30, t * 15, 80)).save(f"{root}/e{e}f{t}.png")
+            lines.append(json.dumps({
+                "images_1": {"type": "image", "url": f"e{e}f{t}.png"},
+                "state": (np.sin(np.arange(7) + t * 0.3) + 0.01 * rng.randn(7)).tolist(),
+                "prompt": "stack the bowls",
+                "is_robot": True,
+            }))
+        open(f"{root}/e{e}.jsonl", "w").write("\n".join(lines))
+    register_dataset(
+        {"all": {"data_path_prefix": root, "annotations": root, "frequency": 1}},
+        prefix="mini",
+        meta_data={"non_delta_mask": [6], "periodic_mask": None, "periodic_range": None},
+    )
+    return root
+
+
+def _make_exp(tmp_path, mini_suite):
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.cogact_exp import CogActExp, CogActModelConfig
+    from dexbotic_tpu.exp.optim import OptimizerConfig
+    from dexbotic_tpu.exp.trainer import TrainerConfig
+
+    return CogActExp(
+        model=CogActModelConfig(
+            llm_preset="test", vit_preset="test", action_model_type="DiT-S",
+            action_dim=7, chunk_size=4,
+        ),
+        action=base_exp.ActionConfig(trajectory_length=4, delta=True, padding_action=True),
+        data=base_exp.DataConfig(
+            dataset_name="mini_all", image_processor="28", aug_policy="identity",
+            data_keys=["input_ids", "labels", "action", "image"],
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        trainer=TrainerConfig(
+            output_dir=str(tmp_path / "out"), max_steps=3, per_device_batch_size=1,
+            logging_steps=1, save_steps=3, bf16=False, resume=False,
+            gradient_checkpointing=False,
+        ),
+        optimizer=OptimizerConfig(learning_rate=1e-4),
+    )
+
+
+def test_cogact_exp_train_and_serve(tmp_path, mini_suite, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    exp = _make_exp(tmp_path, mini_suite)
+    log = exp.train()
+    assert log["step"] == 3
+    ckpt = os.path.join(str(tmp_path / "out"), "checkpoint-3")
+    assert os.path.exists(os.path.join(ckpt, "norm_stats.json"))
+
+    # --- inference from the checkpoint through the HTTP server ---
+    exp2 = _make_exp(tmp_path, mini_suite)
+    exp2.model = dataclasses.replace(exp2.model, model_name_or_path=ckpt)
+
+    from dexbotic_tpu.exp.serve import CogActServer
+
+    cfg, params, norms = exp2.load_for_inference()
+    assert norms is not None
+    tokenizer = exp2.tokenizer.build_tokenizer()
+    server = CogActServer(exp2, cfg, params, tokenizer, norms, host="127.0.0.1", port=0)
+    httpd = server.serve_background()
+    port = httpd.server_address[1]
+
+    from dexbotic_tpu.client import DexClient
+
+    client = DexClient(url=f"http://127.0.0.1:{port}/process_frame", execute_steps=4)
+    img = np.zeros((48, 64, 3), np.uint8)
+    a1 = client.act(img, "stack the bowls")
+    assert a1.shape == (7,)
+    # queue pops without re-posting
+    a2 = client.act(img, "stack the bowls")
+    assert a2.shape == (7,)
+    assert len(client.queue) == 2
+    httpd.shutdown()
+
+
+def test_inference_single(tmp_path, mini_suite, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    exp = _make_exp(tmp_path, mini_suite)
+    actions = exp.inference_single(prompt="stack the bowls")
+    assert np.asarray(actions).shape == (4, 7)

