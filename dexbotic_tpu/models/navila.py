@@ -1,0 +1,172 @@
+"""NaVILA: multi-frame navigation VLA (video-frame VLM + text actions).
+
+Behavior pinned to /root/reference/dexbotic/model/navila/navila_arch.py:
+SigLIP-SO400M tower + mlp_downsample projector + llama_3 template; per-row
+multi-image insertion (our static splice is already per-row, models/vlm.py);
+training-time sequence packing (:256-360) — here packed on host into static
+rows with SEGMENT-ID isolated attention (ops/attention.py q_seg/kv_seg)
+instead of varlen flash attention; soft cross-entropy spreading probability
+over numeric 'time' tokens with a Gaussian (loss.py:11-71).  Inference is AR
+text decoding over an 8-frame history buffer (exp layer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.constants import IGNORE_INDEX
+from dexbotic_tpu.models.losses import causal_lm_loss, soft_cross_entropy_gaussian
+from dexbotic_tpu.models.vlm import VLMConfig, encode_images, init_vlm, splice_image_embeds
+from dexbotic_tpu.nn.transformer import Stream, lm_logits, mot_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class NaVILAConfig:
+    vlm: VLMConfig
+    num_video_frames: int = 8
+    soft_ce_std: float = 1.0
+    use_soft_ce: bool = True
+
+
+def init_navila(key, cfg: NaVILAConfig, dtype=jnp.float32):
+    return {"vlm": init_vlm(key, cfg.vlm, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Host-side sequence packing (static-shape variant of repack_multimodal_data)
+# ---------------------------------------------------------------------------
+
+
+def pack_batch(
+    input_ids: np.ndarray,
+    labels: np.ndarray,
+    valid: np.ndarray,
+    num_rows: int,
+    max_len: int,
+    pad_token_id: int = 0,
+):
+    """Greedily pack de-padded sequences (longest-first) into `num_rows` rows.
+
+    Returns dict with packed input_ids/labels/valid/positions/segments, all
+    [num_rows, max_len].  Sequences that don't fit are truncated with a
+    warning (static-shape budget).
+    """
+    B = input_ids.shape[0]
+    lens = valid.sum(1).astype(int)
+    order = np.argsort(-lens)
+
+    out_ids = np.full((num_rows, max_len), pad_token_id, input_ids.dtype)
+    out_labels = np.full((num_rows, max_len), IGNORE_INDEX, labels.dtype)
+    out_valid = np.zeros((num_rows, max_len), np.int32)
+    out_pos = np.zeros((num_rows, max_len), np.int32)
+    out_seg = np.full((num_rows, max_len), -1, np.int32)
+    row_fill = np.zeros(num_rows, int)
+    seg_counter = 0
+    for i in order:
+        L = lens[i]
+        # first row with space
+        placed = False
+        for r in range(num_rows):
+            if row_fill[r] + L <= max_len:
+                s = row_fill[r]
+                sel = valid[i].astype(bool)
+                out_ids[r, s : s + L] = input_ids[i][sel]
+                out_labels[r, s : s + L] = labels[i][sel]
+                out_valid[r, s : s + L] = 1
+                out_pos[r, s : s + L] = np.arange(L)
+                out_seg[r, s : s + L] = seg_counter
+                row_fill[r] += L
+                seg_counter += 1
+                placed = True
+                break
+        if not placed:
+            import warnings
+
+            warnings.warn(f"pack_batch: dropped sequence of length {L}")
+    return {
+        "input_ids": out_ids,
+        "labels": out_labels,
+        "attention_mask": out_valid,
+        "positions": out_pos,
+        "segments": out_seg,
+    }
+
+
+def navila_forward_packed(params, cfg: NaVILAConfig, packed: dict, images_embeds=None, remat=False):
+    """Forward over packed rows with segment-isolated causal attention."""
+    ids = packed["input_ids"]
+    valid = packed["attention_mask"].astype(jnp.int32)
+    seg = packed["segments"]
+    positions = packed["positions"]
+    if images_embeds is None:
+        raise ValueError("packed forward expects pre-spliced embeddings")
+    # causal within each segment: grp = position+1 (per segment), plus seg ids
+    grp = positions + 1
+    outs, _ = mot_forward(
+        [Stream(cfg.vlm.llm, params["vlm"]["llm"], images_embeds)],
+        positions=positions, q_grp=grp, q_valid=valid, remat=remat,
+        q_seg=seg,
+    )
+    return outs[0]
+
+
+def navila_loss(
+    params,
+    cfg: NaVILAConfig,
+    batch: dict,
+    rng=None,
+    soft_tokens: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+):
+    """VLM CE (or NaVILA soft-CE over numeric time tokens) on video-frame
+    conversations.  batch images: [B, n_frames, H, W, 3]."""
+    hidden = _navila_hidden(params, cfg, batch, remat)
+    logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hidden)
+    if cfg.use_soft_ce and soft_tokens is not None:
+        loss = soft_cross_entropy_gaussian(
+            logits, batch["labels"], soft_tokens, std=cfg.soft_ce_std
+        )
+    else:
+        loss = causal_lm_loss(logits, batch["labels"])
+    return loss, {"text_loss": loss, "loss": loss}
+
+
+def _navila_hidden(params, cfg, batch, remat):
+    from dexbotic_tpu.models.vlm import vlm_forward
+
+    hidden, _ = vlm_forward(
+        params["vlm"], cfg.vlm, batch["input_ids"], batch["attention_mask"],
+        images=batch["images"], remat=remat,
+    )
+    return hidden
+
+
+class FrameHistoryBuffer:
+    """Serving-side rolling frame history with uniform temporal sampling
+    (exp/navila_exp.py:243-257 behavior)."""
+
+    def __init__(self, num_frames: int = 8):
+        self.num_frames = num_frames
+        self.frames: list = []
+
+    def reset(self):
+        self.frames = []
+
+    def add(self, frame) -> list:
+        self.frames.append(frame)
+        return self.sample()
+
+    def sample(self) -> list:
+        n = len(self.frames)
+        if n <= self.num_frames:
+            out = list(self.frames)
+            while len(out) < self.num_frames:
+                out.append(self.frames[-1])
+            return out
+        idx = np.linspace(0, n - 1, self.num_frames).round().astype(int)
+        return [self.frames[i] for i in idx]

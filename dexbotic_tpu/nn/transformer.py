@@ -185,6 +185,7 @@ def init_kv_cache(
         "v": jnp.zeros((cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype),
         "grp": jnp.zeros((batch, max_len), jnp.int32),
         "valid": jnp.zeros((batch, max_len), jnp.int32),
+        "seg": jnp.zeros((batch, max_len), jnp.int32),
         "length": jnp.zeros((), jnp.int32),
     }
 
@@ -202,6 +203,7 @@ def mot_forward(
     cache: Optional[dict] = None,
     update_cache: bool = False,
     remat: bool = False,
+    q_seg: Optional[jnp.ndarray] = None,  # int[B, T] packed-sequence ids
 ):
     """Joint attention over N decoder streams.
 
@@ -236,20 +238,30 @@ def mot_forward(
     if update_cache and cache is None:
         cache = init_kv_cache(base, B, T, dtype=compute_dtype)
 
+    if q_seg is None:
+        q_seg_arr = jnp.zeros(q_grp.shape, jnp.int32)
+    else:
+        q_seg_arr = q_seg.astype(jnp.int32)
     if cache is not None:
         start = cache["length"]
+        cache_seg = cache.get("seg")
+        if cache_seg is None:
+            cache_seg = jnp.zeros(cache["grp"].shape, jnp.int32)
         if update_cache:
             kv_grp = jax.lax.dynamic_update_slice(cache["grp"], q_grp.astype(jnp.int32), (0, start))
             kv_valid = jax.lax.dynamic_update_slice(
                 cache["valid"], q_valid.astype(jnp.int32), (0, start)
             )
+            kv_seg = jax.lax.dynamic_update_slice(cache_seg, q_seg_arr, (0, start))
         else:
             kv_grp = jnp.concatenate([cache["grp"], q_grp.astype(jnp.int32)], axis=1)
             kv_valid = jnp.concatenate([cache["valid"], q_valid.astype(jnp.int32)], axis=1)
+            kv_seg = jnp.concatenate([cache_seg, q_seg_arr], axis=1)
     else:
         start = None
         kv_grp = q_grp.astype(jnp.int32)
         kv_valid = q_valid.astype(jnp.int32)
+        kv_seg = q_seg_arr
 
     def body(carry, layer_xs):
         xs_embeds = carry  # tuple of per-stream embeds (or None)
@@ -304,6 +316,8 @@ def mot_forward(
             kv_valid,
             scale=scale,
             impl=base.attn_impl,
+            q_seg=q_seg_arr,
+            kv_seg=kv_seg,
         )
 
         offset = 0
@@ -347,6 +361,7 @@ def mot_forward(
         if update_cache:
             new_cache["k"], new_cache["v"] = cache_kv
             new_cache["grp"], new_cache["valid"] = kv_grp, kv_valid
+            new_cache["seg"] = kv_seg
             new_cache["length"] = cache["length"] + T if start is not None else jnp.asarray(T, jnp.int32)
     return outs, new_cache
 

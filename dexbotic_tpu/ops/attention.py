@@ -45,6 +45,8 @@ def attention_xla(
     kv_grp: jnp.ndarray,
     kv_valid: jnp.ndarray,
     scale: float | None = None,
+    q_seg: jnp.ndarray | None = None,
+    kv_seg: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Plain-XLA grouped-query attention with group-int masking.
 
@@ -68,6 +70,8 @@ def attention_xla(
     allowed = (kv_grp[:, None, :] <= q_grp[:, :, None]) & kv_valid[:, None, :].astype(
         bool
     )
+    if q_seg is not None:
+        allowed = allowed & (kv_seg[:, None, :] == q_seg[:, :, None])
     scores = jnp.where(allowed[:, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
@@ -84,6 +88,8 @@ def _flash_kernel(
     q_grp_ref,  # [1, 1, BQ] int32
     kv_grp_ref,  # [1, 1, BK] int32
     kv_valid_ref,  # [1, 1, BK] int32
+    q_seg_ref,  # [1, 1, BQ] int32
+    kv_seg_ref,  # [1, 1, BK] int32
     q_ref,  # [1, 1, BQ, D]
     k_ref,  # [1, 1, BK, D]
     v_ref,  # [1, 1, BK, D]
@@ -117,7 +123,9 @@ def _flash_kernel(
     qg = jnp.transpose(q_grp_ref[0])  # [BQ, 1]
     kg = kv_grp_ref[0]  # [1, BK]
     valid = kv_valid_ref[0]  # [1, BK]
-    allowed = (kg <= qg) & (valid > 0)  # [BQ, BK]
+    qs = jnp.transpose(q_seg_ref[0])  # [BQ, 1]
+    ks_ = kv_seg_ref[0]  # [1, BK]
+    allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)  # [BQ, BK]
     scores = jnp.where(allowed, scores, _NEG_INF)
 
     m_prev = m_scr[:, :1]  # [BQ, 1]
@@ -168,6 +176,8 @@ def flash_attention(
     block_q: int = 128,
     block_kv: int = 128,
     interpret: bool = False,
+    q_seg: jnp.ndarray | None = None,
+    kv_seg: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pallas flash attention with group-int block-causal masking.
 
@@ -194,6 +204,12 @@ def flash_attention(
     q_grp_p = _pad_to(q_grp.astype(jnp.int32), 1, block_q)[:, None, :]
     kv_grp_p = _pad_to(kv_grp.astype(jnp.int32), 1, block_kv)[:, None, :]
     kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), 1, block_kv, value=0)[:, None, :]
+    if q_seg is None:
+        q_seg = jnp.zeros((B, Sq), jnp.int32)
+    if kv_seg is None:
+        kv_seg = jnp.zeros((B, Skv), jnp.int32)
+    q_seg_p = _pad_to(q_seg.astype(jnp.int32), 1, block_q)[:, None, :]
+    kv_seg_p = _pad_to(kv_seg.astype(jnp.int32), 1, block_kv)[:, None, :]
 
     Sqp, Skvp = qp.shape[1], kp.shape[1]
     qb, kb = Sqp // block_q, Skvp // block_kv
@@ -214,6 +230,12 @@ def flash_attention(
             ),
             pl.BlockSpec(
                 (1, 1, block_kv), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 1, block_kv), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM
@@ -244,7 +266,7 @@ def flash_attention(
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q_grp_p, kv_grp_p, kv_valid_p, qt, kt, vt)
+    )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p, qt, kt, vt)
 
     out = jnp.transpose(out, (0, 2, 1, 3))[:, :Sq]
     return out
@@ -272,19 +294,25 @@ def attention(
     kv_valid: jnp.ndarray,
     scale: float | None = None,
     impl: str = "auto",
+    q_seg: jnp.ndarray | None = None,
+    kv_seg: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU (aligned head_dim) else XLA.
 
     impl: 'auto' | 'pallas' | 'xla' | 'pallas_interpret'
+    Optional q_seg/kv_seg isolate packed sequences (NaVILA-style packing).
     """
     if impl == "auto":
         impl = "pallas" if _tpu_ok(q.shape[-1]) else "xla"
     if impl == "xla":
-        return attention_xla(q, k, v, q_grp, kv_grp, kv_valid, scale)
+        return attention_xla(q, k, v, q_grp, kv_grp, kv_valid, scale,
+                             q_seg=q_seg, kv_seg=kv_seg)
     if impl == "pallas":
-        return flash_attention(q, k, v, q_grp, kv_grp, kv_valid, scale)
+        return flash_attention(q, k, v, q_grp, kv_grp, kv_valid, scale,
+                               q_seg=q_seg, kv_seg=kv_seg)
     if impl == "pallas_interpret":
-        return flash_attention(q, k, v, q_grp, kv_grp, kv_valid, scale, interpret=True)
+        return flash_attention(q, k, v, q_grp, kv_grp, kv_valid, scale,
+                               interpret=True, q_seg=q_seg, kv_seg=kv_seg)
     raise ValueError(f"unknown attention impl: {impl}")
 
 
