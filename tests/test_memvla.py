@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+from dexbotic_tpu.models.memvla import (
+    MemVLAConfig,
+    bank_step,
+    init_mem_state,
+    init_memvla,
+    memvla_inference_action,
+    memvla_loss,
+    reset_mem_rows,
+    se_bottleneck,
+)
+from dexbotic_tpu.models.presets import LLM_TEST, VIT_TEST
+from dexbotic_tpu.models.vlm import VLMConfig
+
+CFG = MemVLAConfig(
+    vlm=VLMConfig(llm=LLM_TEST, vit=VIT_TEST),
+    action_model_type="DiT-S", action_dim=3, chunk_size=4,
+    per_token_size=16, mem_length=3, retrieval_layers=2, retrieval_heads=4,
+    repeated_diffusion_steps=2,
+)
+
+
+def _batch(B=2, t=0):
+    rs = np.random.RandomState(t)
+    nt = CFG.vlm.num_image_tokens
+    ids = rs.randint(1, 400, (B, nt + 6))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(rs.randn(B, 1, 28, 28, 3), jnp.float32),
+        "actions": jnp.asarray(np.tanh(rs.randn(B, 4, 3)), jnp.float32),
+        "timesteps": jnp.full((B,), float(t)),
+    }
+
+
+def test_se_bottleneck_shape():
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, CFG.vlm.llm.hidden_size))
+    out = se_bottleneck(p["per_compr"], x)
+    assert out.shape == (2, 4, 16)
+
+
+def test_bank_fill_and_tome_merge():
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    state = init_mem_state(CFG, batch=2)
+    per = jax.random.normal(jax.random.PRNGKey(1), (2, CFG.num_per_tokens, 16))
+    cog = jax.random.normal(jax.random.PRNGKey(2), (2, 1, CFG.vlm.llm.hidden_size))
+    for t in range(5):  # exceed mem_length=3 -> ToMe merges
+        per_f, cog_f, state = bank_step(p, CFG, state, per, cog, jnp.full((2,), float(t)))
+    assert int(state["per"]["count"][0]) == 3
+    assert int(state["cog"]["count"][0]) == 3
+    # merged times are averages -> not all integers
+    times = np.asarray(state["cog"]["times"][0])
+    assert times[-1] == 4.0  # newest appended at the end
+    assert np.isfinite(np.asarray(state["per"]["feats"])).all()
+
+
+def test_reset_mem_rows():
+    state = init_mem_state(CFG, batch=2)
+    state["cog"]["count"] = jnp.array([2, 3], jnp.int32)
+    state = reset_mem_rows(state, jnp.array([True, False]))
+    assert int(state["cog"]["count"][0]) == 0
+    assert int(state["cog"]["count"][1]) == 3
+
+
+def test_memvla_loss_and_state_threading():
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    state = init_mem_state(CFG, batch=2)
+    for t in range(3):
+        loss, m, state = memvla_loss(p, CFG, _batch(t=t), state, jax.random.PRNGKey(t))
+        assert np.isfinite(float(loss))
+    assert int(state["cog"]["count"][0]) == 3
+
+
+def test_memvla_grads():
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    state = init_mem_state(CFG, batch=2)
+
+    def lf(pp):
+        loss, _, _ = memvla_loss(pp, CFG, _batch(), state, jax.random.PRNGKey(1))
+        return loss
+
+    g = jax.grad(lf)(p)
+    gn = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), g))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_memvla_inference_memory_changes_actions():
+    """Same frame must yield different actions once the bank holds history."""
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    # zero-init final layer / mem-xattn out would hide conditioning at init
+    p["action_head"]["final"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(7), p["action_head"]["final"]["w"].shape) * 0.1
+    )
+    p["action_head"]["blocks"]["xattn"]["o"]["w"] = (
+        jax.random.normal(jax.random.PRNGKey(8), p["action_head"]["blocks"]["xattn"]["o"]["w"].shape) * 0.1
+    )
+    b = _batch(B=1)
+    state = init_mem_state(CFG, batch=1)
+    a1, state = memvla_inference_action(
+        p, CFG, b["input_ids"], b["attention_mask"], b["images"], state,
+        jnp.zeros((1,)), jax.random.PRNGKey(5),
+    )
+    assert a1.shape == (1, 4, 3)
+    # feed different frames to populate memory
+    for t in range(1, 3):
+        bt = _batch(B=1, t=t)
+        _, state = memvla_inference_action(
+            p, CFG, bt["input_ids"], bt["attention_mask"], bt["images"], state,
+            jnp.full((1,), float(t)), jax.random.PRNGKey(5),
+        )
+    a2, _ = memvla_inference_action(
+        p, CFG, b["input_ids"], b["attention_mask"], b["images"], state,
+        jnp.full((1,), 3.0), jax.random.PRNGKey(5),
+    )
+    assert np.abs(np.asarray(a1) - np.asarray(a2)).max() > 1e-5
