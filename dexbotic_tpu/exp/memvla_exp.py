@@ -1,0 +1,144 @@
+"""MemVLA experiment (reference: exp/memvla_exp.py).
+
+Memory config surface (:166-260) + episode-ordered training via
+exp/mem_trainer.py (parallel_stream default) and a stateful serving loop
+that resets the bank on episode_first_frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.exp import base_exp
+from dexbotic_tpu.exp.mem_trainer import episode_batches
+from dexbotic_tpu.exp.trainer import load_checkpoint_params
+from dexbotic_tpu.models import presets
+from dexbotic_tpu.models.memvla import (
+    MemVLAConfig,
+    init_mem_state,
+    init_memvla,
+    memvla_inference_action,
+    memvla_loss,
+    reset_mem_rows,
+)
+from dexbotic_tpu.models.vlm import VLMConfig
+
+
+@dataclass
+class MemVLAModelConfig(base_exp.Config):
+    model_name_or_path: Optional[str] = None
+    llm_preset: str = "llama2_7b"
+    vit_preset: str = "clip_vit_l_336"
+    mm_projector_type: str = "mlp2x_gelu"
+    action_model_type: str = "DiT-B"
+    action_dim: int = 7
+    chunk_size: int = 16
+    # memory config surface (memvla_exp.py:166-260)
+    per_token_size: int = 256
+    mem_length: int = 16
+    retrieval_layers: int = 2
+    use_timestep_pe: bool = True
+    fusion_type: str = "gate"
+    consolidate_type: str = "tome"
+    update_fused: bool = True
+    dataloader_type: str = "parallel_stream"
+    group_size: int = 8
+    seed: int = 0
+
+    def build_config(self) -> MemVLAConfig:
+        return MemVLAConfig(
+            vlm=VLMConfig(
+                llm=presets.LLM_PRESETS[self.llm_preset],
+                vit=presets.VIT_PRESETS[self.vit_preset],
+                projector_type=self.mm_projector_type,
+            ),
+            action_model_type=self.action_model_type,
+            action_dim=self.action_dim,
+            chunk_size=self.chunk_size,
+            per_token_size=self.per_token_size,
+            mem_length=self.mem_length,
+            retrieval_layers=self.retrieval_layers,
+            use_timestep_pe=self.use_timestep_pe,
+            fusion_type=self.fusion_type,
+            consolidate_type=self.consolidate_type,
+            update_fused=self.update_fused,
+        )
+
+    def build_params(self, cfg):
+        if self.model_name_or_path:
+            return load_checkpoint_params(self.model_name_or_path)
+        return init_memvla(jax.random.PRNGKey(self.seed), cfg)
+
+
+@dataclass
+class MemVLAExp(base_exp.BaseExp):
+    exp_name: str = "memvla"
+    model: MemVLAModelConfig = field(default_factory=MemVLAModelConfig)
+
+    def num_image_tokens(self) -> int:
+        return self.model.build_config().vlm.num_image_tokens
+
+    def build_model(self, tokenizer):
+        """Loss closes over a mutable bank-state holder: the Trainer's step
+        stays functional, state threads through a host-side cell."""
+        cfg = self.model.build_config()
+        params = self.model.build_params(cfg)
+        B = self.trainer.per_device_batch_size
+        state_cell = {"state": init_mem_state(cfg, B)}
+
+        def loss_fn(params, batch, rng):
+            # episode reset + in-episode frame index come from 'indexes'
+            loss, metrics, new_state = memvla_loss(
+                params, cfg, batch, state_cell["state"], rng
+            )
+            # NOTE: functional state update happens outside jit via callback
+            state_cell["state"] = jax.lax.stop_gradient(new_state)
+            return loss, metrics
+
+        return cfg, params, loss_fn
+
+    def make_data_schedule(self, dataset, batch_size):
+        return episode_batches(
+            dataset, batch_size, mode=self.model.dataloader_type,
+            group_size=self.model.group_size, seed=self.trainer.seed,
+        )
+
+
+class MemVLAInferenceSession:
+    """Serving-side stateful session (cur_timestep + bank state)."""
+
+    def __init__(self, exp: MemVLAExp, cfg, params, batch_size: int = 1):
+        self.cfg = cfg
+        self.params = params
+        self.state = init_mem_state(cfg, batch_size)
+        self.timestep = 0
+
+        @jax.jit
+        def infer(params, ids, valid, images, state, t, rng):
+            return memvla_inference_action(params, cfg, ids, valid, images, state, t, rng)
+
+        self._infer = infer
+
+    def reset(self):
+        self.state = reset_mem_rows(
+            self.state, jnp.ones((self.state["cog"]["count"].shape[0],), bool)
+        )
+        self.timestep = 0
+
+    def step(self, input_ids, valid, images, rng):
+        t = jnp.full((input_ids.shape[0],), float(self.timestep))
+        actions, self.state = self._infer(
+            self.params, input_ids, valid, images, self.state, t, rng
+        )
+        self.timestep += 1
+        return actions
+
+
+if __name__ == "__main__":
+    MemVLAExp.main()

@@ -1,0 +1,150 @@
+"""NaVILA experiment (reference: exp/navila_exp.py): video-frame navigation
+VLA with 8-frame serving history and a nav prompt."""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.exp import base_exp
+from dexbotic_tpu.exp.trainer import load_checkpoint_params
+from dexbotic_tpu.models import presets
+from dexbotic_tpu.models.generate import generate
+from dexbotic_tpu.models.navila import (
+    FrameHistoryBuffer,
+    NaVILAConfig,
+    init_navila,
+    navila_loss,
+)
+from dexbotic_tpu.models.vlm import VLMConfig
+
+NAV_PROMPT = (
+    "Imagine you are a robot programmed for navigation tasks. You have been given a "
+    "video of historical observations and an image of the current observation "
+    "<image>. Your assigned task is: {prompt} Analyze this series of images to "
+    "decide your next move, which could involve turning left or right by a specific "
+    "degree, moving forward a certain distance, or stopping if the task is completed."
+)
+
+
+@dataclass
+class NaVILAModelConfig(base_exp.Config):
+    model_name_or_path: Optional[str] = None
+    llm_preset: str = "llama2_7b"
+    vit_preset: str = "siglip_so400m_384"
+    mm_projector_type: str = "mlp_downsample"
+    num_video_frames: int = 8
+    soft_ce_std: float = 1.0
+    use_soft_ce: bool = True
+    seed: int = 0
+
+    def build_config(self) -> NaVILAConfig:
+        return NaVILAConfig(
+            vlm=VLMConfig(
+                llm=presets.LLM_PRESETS[self.llm_preset],
+                vit=presets.VIT_PRESETS[self.vit_preset],
+                projector_type=self.mm_projector_type,
+            ),
+            num_video_frames=self.num_video_frames,
+            soft_ce_std=self.soft_ce_std,
+            use_soft_ce=self.use_soft_ce,
+        )
+
+    def build_params(self, cfg):
+        if self.model_name_or_path:
+            return load_checkpoint_params(self.model_name_or_path)
+        return init_navila(jax.random.PRNGKey(self.seed), cfg)
+
+
+@dataclass
+class NaVILAExp(base_exp.BaseExp):
+    exp_name: str = "navila"
+    model: NaVILAModelConfig = field(default_factory=NaVILAModelConfig)
+    tokenizer: base_exp.TokenizerConfig = field(
+        default_factory=lambda: base_exp.TokenizerConfig(
+            model_max_length=4096, chat_template="llama_3"
+        )
+    )
+    action: base_exp.ActionConfig = field(
+        default_factory=lambda: base_exp.ActionConfig(prompt_template=NAV_PROMPT)
+    )
+    data: base_exp.DataConfig = field(
+        default_factory=lambda: base_exp.DataConfig(
+            num_images=8, image_processor="siglip_384",
+            data_keys=["input_ids", "labels", "image"],
+        )
+    )
+
+    def num_image_tokens(self) -> int:
+        return self.model.build_config().vlm.num_image_tokens
+
+    def build_model(self, tokenizer):
+        cfg = self.model.build_config()
+        params = self.model.build_params(cfg)
+        # numeric time tokens for the soft CE (digit byte tokens here;
+        # HF tokenizers: the ids of "0".."9")
+        digit_ids = jnp.asarray(
+            [tokenizer.encode(str(d))[-1] for d in range(10)], jnp.int32
+        )
+
+        def loss_fn(params, batch, rng):
+            return navila_loss(
+                params, cfg, batch, rng,
+                soft_tokens=digit_ids if self.model.use_soft_ce else None,
+                remat=self.trainer.gradient_checkpointing,
+            )
+
+        return cfg, params, loss_fn
+
+    def make_generate_fn(self, cfg, params, max_new_tokens: int = 48):
+        eos = 0
+
+        @jax.jit
+        def gen(ids, valid, images, rng):
+            return generate(
+                params["vlm"], cfg.vlm, ids, valid, images,
+                max_new_tokens=max_new_tokens, eos_token_id=eos, rng=rng,
+            )[0]
+
+        return gen
+
+
+class NaVILAInferenceSession:
+    """History buffer + AR text action decoding (exp/navila_exp.py:243-330)."""
+
+    def __init__(self, exp: NaVILAExp, cfg, params, tokenizer):
+        self.exp = exp
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.buffer = FrameHistoryBuffer(cfg.num_video_frames)
+        self.gen = exp.make_generate_fn(cfg, params)
+
+    def reset(self):
+        self.buffer.reset()
+
+    def act(self, frame: np.ndarray, instruction: str, rng) -> str:
+        from dexbotic_tpu.data.image_processing import preprocess_image
+        from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
+
+        frames = self.buffer.add(frame)
+        proc = self.exp.data.build_image_processor()
+        imgs = np.stack([preprocess_image(f, proc) for f in frames])[None]
+        prompt = NAV_PROMPT.format(prompt=instruction)
+        # one <image> tag covers the frame history: expand to frames*tokens
+        ids = tokenizer_image_token(
+            prompt, self.tokenizer,
+            num_image_tokens=self.cfg.vlm.num_image_tokens * len(frames),
+        )
+        ids = jnp.asarray(ids, jnp.int32)[None]
+        valid = jnp.ones(ids.shape, jnp.int32)
+        tokens = self.gen(ids, valid, jnp.asarray(imgs), rng)
+        return self.tokenizer.decode([int(t) for t in np.asarray(tokens)[0]])
+
+
+if __name__ == "__main__":
+    NaVILAExp.main()

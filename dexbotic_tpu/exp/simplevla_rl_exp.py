@@ -1,0 +1,177 @@
+"""SimpleVLA-RL experiment: GRPO post-training of the OFT-Discrete actor.
+
+Loop pinned to /root/reference/dexbotic/exp/simplevla_rl_exp.py:524-830:
+env batches from an interleaved task sampler -> chunked sampled rollouts with
+per-step log-prob capture -> binary success reward -> accuracy filter ->
+circular redistribution -> PPO-clip update with GRPO advantages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+from dexbotic_tpu.exp import base_exp
+from dexbotic_tpu.exp.oft_exp import OFTModelConfig
+from dexbotic_tpu.exp.rl.grpo import GRPOConfig
+from dexbotic_tpu.exp.rl.rl_trainer import (
+    GRPOUpdater,
+    RolloutConfig,
+    collect_rollouts,
+    filter_and_redistribute,
+    flatten_rollouts,
+    prepare_update_batch,
+)
+from dexbotic_tpu.models.oft import oft_generate_action
+from dexbotic_tpu.sim_envs.factory import create_env_batch
+from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
+
+
+@dataclass
+class RLEnvConfig(base_exp.Config):
+    env_type: str = "mock"  # 'mock' | 'libero'
+    task_suite_name: str = "libero_spatial"
+    task_names: tuple = ("task_0",)
+    num_envs: int = 8
+    max_episode_steps: int = 512
+    obs_dim: tuple = (224, 224, 3)
+    camera_height: int = 256
+    camera_width: int = 256
+    mock_success_prob: float = 0.5
+
+
+@dataclass
+class RLDataLoaderConfig(base_exp.Config):
+    """BufferedRLDataLoader surface: env configs interleaved n_samples times
+    (data/dataset/dex_rl_dataset.py:65-419)."""
+
+    n_samples: int = 8  # rollouts per prompt group
+
+    def sample_env_batch(self, env_cfg: RLEnvConfig, rng: np.random.Generator):
+        n_groups = max(1, env_cfg.num_envs // self.n_samples)
+        tasks, trials, seeds, groups = [], [], [], []
+        for g in range(n_groups):
+            task = env_cfg.task_names[int(rng.integers(len(env_cfg.task_names)))]
+            for s in range(self.n_samples):
+                tasks.append(task)
+                trials.append(g * self.n_samples + s)
+                seeds.append(int(rng.integers(1 << 30)))
+                groups.append(g)
+        return tasks, trials, seeds, np.asarray(groups), n_groups
+
+
+@dataclass
+class SimpleVLARLExp(base_exp.BaseExp):
+    exp_name: str = "simplevla_rl"
+    model: OFTModelConfig = field(
+        default_factory=lambda: OFTModelConfig(action_model_type="Discrete")
+    )
+    env: RLEnvConfig = field(default_factory=RLEnvConfig)
+    rl_data: RLDataLoaderConfig = field(default_factory=RLDataLoaderConfig)
+    grpo: GRPOConfig = field(default_factory=lambda: GRPOConfig(entropy_coeff=0.001))
+    rollout: RolloutConfig = field(default_factory=RolloutConfig)
+    rl_epochs: int = 1
+    rl_steps_per_epoch: int = 4
+    micro_batch_size: int = 8
+    rl_learning_rate: float = 1e-6
+    prompt_text_len: int = 16
+
+    def _make_actor(self, cfg, params, tokenizer):
+        nt = cfg.vlm.num_image_tokens
+        proc = self.data.build_image_processor()
+
+        gen = jax.jit(
+            lambda ids, valid, imgs, r: oft_generate_action(
+                params, cfg, ids, valid, imgs, None, r,
+                temperature=self.rollout.temperature,
+            )
+        )
+
+        def actor_fn(obs_list, instructions, rng):
+            from dexbotic_tpu.data.image_processing import preprocess_image
+
+            B = len(obs_list)
+            imgs = np.stack(
+                [
+                    preprocess_image(
+                        o["observation"]["head_camera"]["rgb"], proc
+                    )
+                    for o in obs_list
+                ]
+            )[:, None]
+            L = nt + self.prompt_text_len
+            ids = np.zeros((B, L), np.int64)
+            valid = np.zeros((B, L), bool)
+            for i, inst in enumerate(instructions):
+                text = tokenizer_image_token(f"<image>\n{inst}", tokenizer, num_image_tokens=nt)
+                text = text[:L]
+                ids[i, : len(text)] = text
+                valid[i, : len(text)] = True
+            actions, bins, logp = gen(
+                jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(imgs), rng
+            )
+            return actions, bins, logp, ids, valid, imgs[:, 0]
+
+        return actor_fn
+
+    def train_rl(self):
+        cfg = self.model.build_config()
+        params = self.model.build_params(cfg)
+        tokenizer = self.tokenizer.build_tokenizer()
+        updater = GRPOUpdater(
+            cfg, self.grpo, params,
+            learning_rate=self.rl_learning_rate,
+            temperature=self.rollout.temperature,
+        )
+        host_rng = np.random.default_rng(self.trainer.seed)
+        rng = jax.random.PRNGKey(self.trainer.seed)
+        history = []
+        for epoch in range(self.rl_epochs):
+            for step in range(self.rl_steps_per_epoch):
+                tasks, trials, seeds, groups, n_groups = self.rl_data.sample_env_batch(
+                    self.env, host_rng
+                )
+                envs = create_env_batch(
+                    self.env.env_type, self.env.task_suite_name, tasks, trials,
+                    seeds, self.env, threaded=self.env.env_type != "mock",
+                )
+                rng, r = jax.random.split(rng)
+                actor = self._make_actor(cfg, params, tokenizer)
+                buf = collect_rollouts(envs, actor, self.rollout, r, group_index=groups)
+                for e in envs:
+                    e.close()
+
+                idx = filter_and_redistribute(buf, self.grpo, self.rollout, n_groups)
+                # reorder episodes by the redistributed indices, then flatten
+                buf.obs = {k: v[idx] for k, v in buf.obs.items()}
+                buf.bins = buf.bins[idx]
+                buf.old_logp = buf.old_logp[idx]
+                buf.chunk_count = buf.chunk_count[idx]
+                buf.success = buf.success[idx]
+                buf.group_index = buf.group_index[idx]
+                buf.input_ids = buf.input_ids[idx]
+                buf.prompt_valid = buf.prompt_valid[idx]
+                flat = flatten_rollouts(buf)
+                batch = prepare_update_batch(flat, self.grpo, n_groups)
+                params, metrics = updater.update(params, batch, self.micro_batch_size)
+                metrics["success_rate"] = float(buf.success.mean())
+                metrics["epoch"] = epoch
+                metrics["step"] = step
+                history.append(metrics)
+                print(metrics)
+        return params, history
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--task", default="train", choices=["train"])
+    parser.parse_known_args()
+    SimpleVLARLExp().train_rl()

@@ -230,3 +230,58 @@ class DummyTokenization:
     def __call__(self, conversations, has_image: bool = True) -> dict:
         z = np.zeros((1,), np.int64)
         return {"input_ids": z, "labels": z}
+
+
+class Pi0Tokenization:
+    """pi0: fixed-length (48) plain prompt tokens, zero padded
+    (reference: tokenization/process.py:116-127)."""
+
+    def __init__(self, tokenizer, max_len: int = 48):
+        self.tokenizer = tokenizer
+        self._max_len = max_len
+
+    def __call__(self, conversations, has_image: bool = True) -> dict:
+        if conversations and isinstance(conversations[0], list):
+            conversations = conversations[0]
+        prompt = conversations[0]["value"]
+        cleaned = prompt.strip().replace("\n", " ").replace("_", " ")
+        if hasattr(self.tokenizer, "sp_model"):  # HF Gemma tokenizer
+            tokens = self.tokenizer.sp_model.encode(cleaned, add_bos=True)
+            tokens = tokens + self.tokenizer.sp_model.encode("\n")
+        else:
+            tokens = self.tokenizer.encode(cleaned)
+            nl = self.tokenizer.encode("\n")
+            tokens = tokens + (nl[1:] if nl and nl[0] == getattr(self.tokenizer, "bos_token_id", None) else nl)
+        tokens = tokens[: self._max_len]
+        tokens = tokens + [0] * (self._max_len - len(tokens))
+        arr = np.asarray(tokens, np.int64)
+        return {"input_ids": arr, "labels": arr.copy()}
+
+
+class DM0Tokenization:
+    """DM0 'step'-template SFT format, fixed-length padded
+    (reference: tokenization/process.py:130-245, simplified to the
+    input_ids/labels surface)."""
+
+    def __init__(self, tokenizer, max_len: int = 100, chat_template: str = "step"):
+        self.tokenizer = tokenizer
+        self._max_len = max_len
+        self.chat_template = chat_template
+
+    def __call__(self, conversations, has_image: bool = True) -> dict:
+        if conversations and isinstance(conversations[0], list):
+            conversations = conversations[0]
+        prompt = conversations[0]["value"]
+        conv = conversation_lib.conv_templates[self.chat_template].copy()
+        conv.append_message(conv.roles[0], prompt.strip())
+        conv.append_message(conv.roles[1], None)
+        text = conv.get_prompt()
+        tokens = self.tokenizer.encode(text) if hasattr(self.tokenizer, "encode") else self.tokenizer(text).input_ids
+        tokens = tokens[: self._max_len]
+        pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
+        n = len(tokens)
+        tokens = tokens + [pad_id] * (self._max_len - n)
+        arr = np.asarray(tokens, np.int64)
+        labels = arr.copy()
+        labels[n:] = IGNORE_INDEX
+        return {"input_ids": arr, "labels": labels}
