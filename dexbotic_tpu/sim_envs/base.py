@@ -30,8 +30,9 @@ class BaseEnvWrapper(ABC):
 
     @property
     def lock(self):
+        # RLock: step() legitimately calls get_obs() while holding the lock
         if self._lock is None:
-            self._lock = threading.Lock()
+            self._lock = threading.RLock()
         return self._lock
 
     @abstractmethod
