@@ -51,6 +51,7 @@ class FlowVLAConfig:
     adarms: bool = False  # pi0.5
     time_in_suffix: bool = True  # pi0/DM0 fuse time into action tokens
     causal_prefix: bool = False  # DM0
+    progress_token: bool = False  # DM0-Prog (dm0_prog_arch.py:360-576)
 
     @property
     def vlm(self) -> VLMConfig:
@@ -80,6 +81,13 @@ def dm0_config(llm, expert, vit, **kw) -> FlowVLAConfig:
     )
 
 
+def dm0_prog_config(llm, expert, vit, **kw) -> FlowVLAConfig:
+    return FlowVLAConfig(
+        llm=llm, expert=expert, vit=vit,
+        use_state_token=False, causal_prefix=True, progress_token=True, **kw
+    )
+
+
 def init_flow_vla(key, cfg: FlowVLAConfig, dtype=jnp.float32):
     ks = jax.random.split(key, 8)
     eh = cfg.expert.hidden_size
@@ -96,6 +104,10 @@ def init_flow_vla(key, cfg: FlowVLAConfig, dtype=jnp.float32):
     else:  # pi0.5: sincos(eh) -> eh
         params["time_mlp_in"] = core.linear_init(ks[5], eh, eh, True, dtype)
     params["time_mlp_out"] = core.linear_init(ks[6], eh, eh, True, dtype)
+    if cfg.progress_token:
+        k7, k8 = jax.random.split(ks[7])
+        params["progress_in_proj"] = core.linear_init(k7, 1, eh, True, dtype)
+        params["progress_out_proj"] = core.linear_init(k8, eh, 1, True, dtype)
     return params
 
 
@@ -148,6 +160,7 @@ def embed_suffix(
     x_t: jnp.ndarray,  # [B, chunk, action_dim]
     time: jnp.ndarray,  # [B]
     dtype=None,
+    progress: Optional[jnp.ndarray] = None,  # [B, 1, 1] DM0-Prog
 ):
     """Returns (tokens [B,S,expert_hidden], mask, ar, adarms_cond|None)."""
     B = x_t.shape[0]
@@ -162,6 +175,13 @@ def embed_suffix(
 
     time_emb = posemb_sincos(time, eh).astype(dtype)
     action_tok = core.linear(params["action_in_proj"], x_t.astype(dtype))
+    n_extra = 0
+    if cfg.progress_token and progress is not None:
+        # progress token prepended to action tokens BEFORE time fusion
+        # (dm0_prog_arch.py:383-387)
+        prog_tok = core.linear(params["progress_in_proj"], progress.astype(dtype))
+        action_tok = jnp.concatenate([prog_tok, action_tok], axis=1)
+        n_extra = 1
     cond = None
     if cfg.time_in_suffix:
         fused = jnp.concatenate(
@@ -177,7 +197,7 @@ def embed_suffix(
         x = core.linear(params["time_mlp_out"], x)
         cond = jax.nn.silu(x)
     parts.append(action_tok)
-    ar += [1] + [0] * (cfg.chunk_size - 1)
+    ar += [1] + [0] * (cfg.chunk_size - 1 + n_extra)
 
     tokens = jnp.concatenate(parts, axis=1)
     mask = jnp.ones((B, tokens.shape[1]), jnp.int32)
@@ -256,9 +276,12 @@ def flow_vla_inference_action(
     states: Optional[jnp.ndarray],
     rng: jax.Array,
     num_steps: Optional[int] = None,
-) -> jnp.ndarray:
+    progress: Optional[jnp.ndarray] = None,  # [B, 1, 1] DM0-Prog input
+):
     """Prefill prefix -> frozen KV cache -> Euler flow integration in one
-    compiled program (pi0_arch.py:402-491)."""
+    compiled program (pi0_arch.py:402-491).  With a progress input
+    (DM0-Prog), returns (actions, min end-progress across Euler steps,
+    dm0_prog_arch.py:485-505); else just actions."""
     num_steps = num_steps or cfg.num_flow_steps
     B = input_ids.shape[0]
     if image_masks is None:
@@ -286,7 +309,8 @@ def flow_vla_inference_action(
         x_t, time = carry
         t_b = jnp.broadcast_to(time, (B,))
         suffix_tokens, suffix_mask, suffix_ar, cond = embed_suffix(
-            params, cfg, states, x_t, t_b, dtype=prefix_tokens.dtype
+            params, cfg, states, x_t, t_b, dtype=prefix_tokens.dtype,
+            progress=progress,
         )
         suffix_grp = jnp.cumsum(suffix_ar, axis=1) + prefix_grp_max
         suffix_pos = prefix_len + jnp.cumsum(suffix_mask, axis=1) - 1
@@ -300,9 +324,18 @@ def flow_vla_inference_action(
             cache=cache, update_cache=False,
         )
         v_t = core.linear(params["action_out_proj"], outs[1][:, -cfg.chunk_size :])
-        return (x_t + v_t.astype(jnp.float32) * dt, time + dt), None
+        if progress is not None:
+            prog = core.linear(
+                params["progress_out_proj"],
+                outs[1][:, -cfg.chunk_size - 1 : -cfg.chunk_size],
+            )
+        else:
+            prog = jnp.zeros((B, 1, 1), jnp.float32)
+        return (x_t + v_t.astype(jnp.float32) * dt, time + dt), prog
 
-    (x, _), _ = jax.lax.scan(
+    (x, _), progs = jax.lax.scan(
         step, (noise, jnp.asarray(1.0, jnp.float32)), None, length=num_steps
     )
+    if progress is not None:
+        return x, jnp.min(progs.astype(jnp.float32), axis=0)
     return x

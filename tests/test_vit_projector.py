@@ -73,3 +73,26 @@ def test_linear_nx_projector():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 48))
     out = apply_projector(p, x, "linear2x")
     assert out.shape == (2, 8, 40)
+
+
+def test_pe_vit_forward_and_pooling():
+    from dexbotic_tpu.nn.pe_vit import PEViTConfig, init_pe_vit, pe_vit_forward
+
+    cfg = PEViTConfig(image_size=28, patch_size=14, hidden_size=32, num_layers=2,
+                      num_heads=4, intermediate_size=64)
+    p = init_pe_vit(jax.random.PRNGKey(0), cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
+    out = pe_vit_forward(p, cfg, imgs)
+    assert out.shape == (2, 4, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    cfg2 = PEViTConfig(image_size=28, patch_size=14, hidden_size=32, num_layers=2,
+                       num_heads=4, intermediate_size=64, pool_tokens=2)
+    p2 = init_pe_vit(jax.random.PRNGKey(0), cfg2)
+    out2 = pe_vit_forward(p2, cfg2, imgs)
+    assert out2.shape == (2, 2, 32)
+
+    # 2D RoPE: translation changes outputs (position-sensitive) but grid
+    # structure is respected — just check determinism + finiteness here
+    out3 = pe_vit_forward(p, cfg, imgs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out3), rtol=1e-6)
