@@ -93,18 +93,20 @@ def main():
     size = cfg.vlm.vit.image_size
     imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 1, size, size, 3), jnp.bfloat16)
 
+    # params passed as an ARGUMENT (closing over them would bake GBs of
+    # constants into the HLO and balloon compile time)
     infer = jax.jit(
-        lambda ids, valid, imgs, rng: cogact_inference_action(
+        lambda params, ids, valid, imgs, rng: cogact_inference_action(
             params, cfg, ids, valid, imgs, rng
         )
     )
-    out = infer(ids, valid, imgs, jax.random.PRNGKey(2))
+    out = infer(params, ids, valid, imgs, jax.random.PRNGKey(2))
     out.block_until_ready()
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t0 = time.perf_counter()
     for i in range(iters):
-        out = infer(ids, valid, imgs, jax.random.PRNGKey(i))
+        out = infer(params, ids, valid, imgs, jax.random.PRNGKey(i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     chunks_per_sec = B / dt

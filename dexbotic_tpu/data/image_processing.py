@@ -191,3 +191,35 @@ class PreprocessRGB:
 class DummyRGBProcessor:
     def __call__(self, image) -> np.ndarray:
         return np.zeros((1,), np.float32)
+
+
+class PreprocessDepth:
+    """Aspect-keeping resize + pad for uint16 depth maps
+    (reference: data/dataset/depth_preprocess.py).  Returns float32 [H, W, 1]
+    in meters (mm / 1000)."""
+
+    def __init__(self, target_size: int = 224, pad_value: float = 0.0, scale: float = 1e-3):
+        self.target_size = target_size
+        self.pad_value = pad_value
+        self.scale = scale
+
+    def __call__(self, depth) -> np.ndarray:
+        s = self.target_size
+        if depth is None:
+            return np.zeros((s, s, 1), np.float32)
+        d = np.asarray(depth, np.float32) * self.scale
+        if d.ndim == 3:
+            d = d[..., 0]
+        h, w = d.shape
+        r = s / max(h, w)
+        nh, nw = max(1, int(round(h * r))), max(1, int(round(w * r)))
+        if cv2 is not None:
+            d = cv2.resize(d, (nw, nh), interpolation=1)
+        else:
+            ys = (np.arange(nh) * h / nh).astype(int)
+            xs = (np.arange(nw) * w / nw).astype(int)
+            d = d[ys][:, xs]
+        out = np.full((s, s), self.pad_value, np.float32)
+        top, left = (s - nh) // 2, (s - nw) // 2
+        out[top : top + nh, left : left + nw] = d
+        return out[..., None]

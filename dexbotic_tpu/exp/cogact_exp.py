@@ -108,13 +108,14 @@ class CogActExp(base_exp.BaseExp):
         return cfg, params, norms
 
     def make_infer_fn(self, cfg, params):
-        """One jitted frame->chunk function."""
+        """One jitted frame->chunk function (params passed as an argument so
+        they are NOT baked into the compiled program as constants)."""
 
         @jax.jit
-        def infer(input_ids, valid, images, rng):
+        def _infer(params, input_ids, valid, images, rng):
             return cogact_inference_action(params, cfg, input_ids, valid, images, rng)
 
-        return infer
+        return lambda ids, valid, images, rng: _infer(params, ids, valid, images, rng)
 
     def inference(self):
         from dexbotic_tpu.exp.serve import CogActServer

@@ -105,13 +105,13 @@ class NaVILAExp(base_exp.BaseExp):
         eos = 0
 
         @jax.jit
-        def gen(ids, valid, images, rng):
+        def _gen(params, ids, valid, images, rng):
             return generate(
                 params["vlm"], cfg.vlm, ids, valid, images,
                 max_new_tokens=max_new_tokens, eos_token_id=eos, rng=rng,
             )[0]
 
-        return gen
+        return lambda ids, valid, images, rng: _gen(params, ids, valid, images, rng)
 
 
 class NaVILAInferenceSession:

@@ -107,13 +107,13 @@ class OFTExp(base_exp.BaseExp):
 
     def make_infer_fn(self, cfg, params):
         @jax.jit
-        def infer(input_ids, valid, images, states, rng):
+        def _infer(params, input_ids, valid, images, states, rng):
             return oft_inference_action(
                 params, cfg, input_ids, valid, images,
                 states=states if cfg.use_proprio else None, rng=rng,
             )
 
-        return infer
+        return lambda *a: _infer(params, *a)
 
 
 @dataclass

@@ -165,12 +165,12 @@ class Pi0Exp(base_exp.BaseExp):
 
     def make_infer_fn(self, cfg, params):
         @jax.jit
-        def infer(input_ids, text_mask, images, image_masks, states, rng):
+        def _infer(params, input_ids, text_mask, images, image_masks, states, rng):
             return flow_vla_inference_action(
                 params, cfg, input_ids, text_mask, images, image_masks, states, rng
             )
 
-        return infer
+        return lambda *a: _infer(params, *a)
 
     def inference(self):
         from dexbotic_tpu.exp.serve import FlowVLAServer

@@ -87,7 +87,7 @@ class SimpleVLARLExp(base_exp.BaseExp):
         proc = self.data.build_image_processor()
 
         gen = jax.jit(
-            lambda ids, valid, imgs, r: oft_generate_action(
+            lambda params, ids, valid, imgs, r: oft_generate_action(
                 params, cfg, ids, valid, imgs, None, r,
                 temperature=self.rollout.temperature,
             )
@@ -114,7 +114,7 @@ class SimpleVLARLExp(base_exp.BaseExp):
                 ids[i, : len(text)] = text
                 valid[i, : len(text)] = True
             actions, bins, logp = gen(
-                jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(imgs), rng
+                params, jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(imgs), rng
             )
             return actions, bins, logp, ids, valid, imgs[:, 0]
 

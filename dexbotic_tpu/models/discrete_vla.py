@@ -71,20 +71,20 @@ def discrete_vla_inference_action(
     """Greedy decode, then sampled retries on parse failure (host loop)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     gen = jax.jit(
-        lambda r, temp: generate(
-            params["vlm"], cfg.vlm, input_ids, valid, images,
+        lambda params, ids, valid, images, r, temp: generate(
+            params["vlm"], cfg.vlm, ids, valid, images,
             max_new_tokens=cfg.max_new_tokens, eos_token_id=eos_token_id,
             temperature=temp, rng=r,
         )[0],
-        static_argnums=(1,),
+        static_argnums=(5,),
     )
-    tokens = jax.device_get(gen(rng, 0.0))
+    tokens = jax.device_get(gen(params, input_ids, valid, images, rng, 0.0))
     text = tokenizer.decode([t for t in tokens[0] if t >= 0])
     action = parse_action_text(text, cfg.action_dim, cfg.vocab_bins)
     tries = 0
     while action is None and tries < cfg.max_retries:
         rng, r = jax.random.split(rng)
-        tokens = jax.device_get(gen(r, 1.0))
+        tokens = jax.device_get(gen(params, input_ids, valid, images, r, 1.0))
         text = tokenizer.decode([t for t in tokens[0] if t >= 0])
         action = parse_action_text(text, cfg.action_dim, cfg.vocab_bins)
         tries += 1
