@@ -77,11 +77,8 @@ def main():
     from dexbotic_tpu.models.cogact import cogact_inference_action, init_cogact
 
     cfg = build(SCALE)
-    params = init_cogact(jax.random.PRNGKey(0), cfg)
-    params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 and x.ndim >= 2 else x,
-        params,
-    )
+    # init directly in bf16 (a transient fp32 7B tree would not fit HBM)
+    params = init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
 
     nt = cfg.vlm.num_image_tokens
     text_len = 48

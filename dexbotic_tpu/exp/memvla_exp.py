@@ -85,23 +85,22 @@ class MemVLAExp(base_exp.BaseExp):
         return self.model.build_config().vlm.num_image_tokens
 
     def build_model(self, tokenizer):
-        """Loss closes over a mutable bank-state holder: the Trainer's step
-        stays functional, state threads through a host-side cell."""
+        """Stateful loss: the bank state is threaded through the Trainer's
+        aux-state carry (Trainer(aux_state=...), exp/trainer.py)."""
         cfg = self.model.build_config()
         params = self.model.build_params(cfg)
-        B = self.trainer.per_device_batch_size
-        state_cell = {"state": init_mem_state(cfg, B)}
 
-        def loss_fn(params, batch, rng):
-            # episode reset + in-episode frame index come from 'indexes'
-            loss, metrics, new_state = memvla_loss(
-                params, cfg, batch, state_cell["state"], rng
-            )
-            # NOTE: functional state update happens outside jit via callback
-            state_cell["state"] = jax.lax.stop_gradient(new_state)
-            return loss, metrics
+        def loss_fn(params, batch, rng, state):
+            # per-row episode reset + in-episode frame index from the
+            # episode-ordered schedule (mem_trainer.episode_batches)
+            loss, metrics, new_state = memvla_loss(params, cfg, batch, state, rng)
+            new_state = jax.lax.stop_gradient(new_state)
+            return loss, metrics, new_state
 
         return cfg, params, loss_fn
+
+    def build_aux_state(self, batch_size: int):
+        return init_mem_state(self.model.build_config(), batch_size)
 
     def make_data_schedule(self, dataset, batch_size):
         return episode_batches(

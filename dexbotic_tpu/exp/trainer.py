@@ -56,12 +56,13 @@ class Trainer:
 
     def __init__(
         self,
-        loss_fn: Callable,  # (params, batch, rng) -> (loss, metrics)
+        loss_fn: Callable,  # (params, batch, rng[, aux_state]) -> (loss, metrics[, new_aux])
         params,
         trainer_config: TrainerConfig,
         optimizer_config: OptimizerConfig,
         norm_stats_json: Optional[str] = None,
         mesh=None,
+        aux_state=None,  # stateful-model carry (e.g. MemVLA bank), threaded
     ):
         self.cfg = trainer_config
         self.opt_cfg = optimizer_config
@@ -88,15 +89,39 @@ class Trainer:
             )(self.params)
         self.step = 0
         self.rng = jax.random.PRNGKey(trainer_config.seed)
-        self._train_step = self._build_train_step()
+        self.aux_state = aux_state
+        self._train_step = self._build_train_step(with_aux=aux_state is not None)
         self._ckptr = ocp.PyTreeCheckpointer()
 
     # ------------------------------------------------------------------
 
-    def _build_train_step(self):
+    def _build_train_step(self, with_aux: bool = False):
         accum = self.cfg.gradient_accumulation_steps
         b_shard = batch_sharding(self.mesh)
         r_shard = replicated(self.mesh)
+
+        if with_aux:
+            # stateful models: loss_fn(params, batch, rng, aux) ->
+            # (loss, (metrics, new_aux)); no grad accumulation (state order)
+            def aux_step(params, opt_state, aux, batch, rng):
+                def lf(p):
+                    loss, metrics, new_aux = self.loss_fn(p, batch, rng, aux)
+                    return loss, (metrics, new_aux)
+
+                (loss, (metrics, new_aux)), grads = jax.value_and_grad(
+                    lf, has_aux=True
+                )(params)
+                grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                metrics = dict(metrics)
+                metrics["grad_norm"] = optax.global_norm(grads)
+                metrics["loss"] = loss
+                return params, opt_state, new_aux, metrics
+
+            # shardings inherited from the args (params were device_put with
+            # fsdp shardings at init; aux/batch follow data placement)
+            return jax.jit(aux_step, donate_argnums=(0, 1, 2))
 
         def microbatch_grads(params, batch, rng):
             (loss, metrics), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
@@ -157,9 +182,16 @@ class Trainer:
                     break
                 self.rng, step_rng = jax.random.split(self.rng)
                 batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-                self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, batch, step_rng
-                )
+                if self.aux_state is not None:
+                    (self.params, self.opt_state, self.aux_state, metrics) = (
+                        self._train_step(
+                            self.params, self.opt_state, self.aux_state, batch, step_rng
+                        )
+                    )
+                else:
+                    self.params, self.opt_state, metrics = self._train_step(
+                        self.params, self.opt_state, batch, step_rng
+                    )
                 self.step += 1
                 if self.step % self.cfg.logging_steps == 0 or self.step == max_steps:
                     log = {k: float(v) for k, v in metrics.items()}

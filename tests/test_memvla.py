@@ -119,3 +119,36 @@ def test_memvla_inference_memory_changes_actions():
         jnp.full((1,), 3.0), jax.random.PRNGKey(5),
     )
     assert np.abs(np.asarray(a1) - np.asarray(a2)).max() > 1e-5
+
+
+def test_memvla_stateful_trainer():
+    """Bank state threads through the Trainer aux-state carry."""
+    from dexbotic_tpu.exp.optim import OptimizerConfig
+    from dexbotic_tpu.exp.trainer import Trainer, TrainerConfig
+
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+
+    def loss_fn(params, batch, rng, state):
+        loss, metrics, new_state = memvla_loss(params, CFG, batch, state, rng)
+        new_state = jax.tree.map(jax.lax.stop_gradient, new_state)
+        return loss, metrics, new_state
+
+    import tempfile
+
+    from dexbotic_tpu.parallel.mesh import make_mesh
+
+    trainer = Trainer(
+        loss_fn, p,
+        TrainerConfig(output_dir=tempfile.mkdtemp(), max_steps=3, logging_steps=1,
+                      save_steps=100, bf16=False, resume=False),
+        OptimizerConfig(learning_rate=1e-4),
+        aux_state=init_mem_state(CFG, batch=2),
+        mesh=make_mesh(devices=jax.devices()[:2]),  # batch 2 on a 2-dev mesh
+    )
+    batches = [
+        {k: np.asarray(v) for k, v in _batch(t=t).items()} for t in range(3)
+    ]
+    trainer.train(iter(batches))
+    assert trainer.step == 3
+    # bank accumulated three frames per row
+    assert int(np.asarray(trainer.aux_state["cog"]["count"])[0]) == 3
