@@ -31,6 +31,7 @@ from dexbotic_tpu.parallel.mesh import (
     fsdp_shardings,
     make_mesh,
     replicated,
+    tp_fsdp_shardings,
 )
 
 
@@ -79,7 +80,10 @@ class Trainer:
                 else x,
                 params,
             )
-        self.param_shardings = fsdp_shardings(params, self.mesh)
+        if self.mesh.shape["model"] > 1:
+            self.param_shardings = tp_fsdp_shardings(params, self.mesh)
+        else:
+            self.param_shardings = fsdp_shardings(params, self.mesh)
         self.params = jax.tree.map(jax.device_put, params, self.param_shardings)
 
         self.tx = build_optimizer(optimizer_config, self.params, trainer_config.max_steps)

@@ -299,7 +299,10 @@ def oft_inference_action(
         if cfg.use_proprio:
             hid = hid[:, 1:]
         logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid)
-        bins = jnp.argmax(logits[:, :, -cfg.num_bins + 1 :], axis=-1)
+        # NOTE: the reference slices [-num_bins+1:] (oft_discrete_arch.py:223),
+        # an off-by-one against its own (num_bins-1)-denominator bin map; we
+        # slice the full bin range so train labels and decode agree exactly.
+        bins = jnp.argmax(logits[:, :, -cfg.num_bins :], axis=-1)
         return bins_to_continuous(bins, cfg)
 
     # Diffusion: prefill prompt once, DDIM over the segment only
@@ -347,7 +350,7 @@ def oft_generate_action(
     if cfg.use_proprio:
         hid = hid[:, 1:]
     logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid).astype(jnp.float32)
-    logits = logits[:, :, -cfg.num_bins + 1 :] / temperature
+    logits = logits[:, :, -cfg.num_bins :] / temperature
     bins = jax.random.categorical(rng, logits, axis=-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     chosen_logp = jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
@@ -366,7 +369,7 @@ def oft_action_log_probs(
     if cfg.use_proprio:
         hid = hid[:, 1:]
     logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid).astype(jnp.float32)
-    logits = logits[:, :, -cfg.num_bins + 1 :] / temperature
+    logits = logits[:, :, -cfg.num_bins :] / temperature
     logp = jax.nn.log_softmax(logits, axis=-1)
     chosen = jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
     probs = jnp.exp(logp)

@@ -72,3 +72,67 @@ def shard_params(params, mesh: Mesh, min_size: int = 2**14):
     """Place a param pytree according to fsdp rules."""
     shardings = fsdp_shardings(params, mesh, min_size)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (2-D mesh): megatron-style column/row sharding
+# ---------------------------------------------------------------------------
+
+# path-substring -> (axis sharded over 'model') for transformer layer params;
+# [in, out] kernels: attn q/k/v and mlp gate/up are column-parallel (out dim),
+# attn.o and mlp.down are row-parallel (in dim).
+TP_RULES = (
+    (("attn", "q", "w"), 1),
+    (("attn", "k", "w"), 1),
+    (("attn", "v", "w"), 1),
+    (("attn", "q", "b"), 0),
+    (("attn", "k", "b"), 0),
+    (("attn", "v", "b"), 0),
+    (("attn", "o", "w"), 0),
+    (("mlp", "gate", "w"), 1),
+    (("mlp", "up", "w"), 1),
+    (("mlp", "down", "w"), 0),
+    (("embed", "embedding"), 1),
+    (("lm_head", "w"), 1),
+)
+
+
+def _path_keys(path) -> tuple:
+    return tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
+
+
+def tp_fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**14):
+    """Combined tensor-parallel ('model' axis) + fully-sharded ('data' axis)
+    PartitionSpecs.  TP rules shard matmul dims megatron-style; the data axis
+    then shards the LARGEST remaining divisible axis (ZeRO-3 analogue).
+    With mesh model=1 this degrades to pure fsdp."""
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+
+    def spec_for(path, x):
+        keys = _path_keys(path)
+        spec = [None] * x.ndim
+        if n_model > 1 and x.ndim >= 1:
+            for rule_keys, axis in TP_RULES:
+                if len(keys) >= len(rule_keys) and tuple(keys[-len(rule_keys):]) == rule_keys:
+                    # rules are for 2D kernels/1D biases; stacked-layer leaves
+                    # carry a leading num_layers axis -> shift right
+                    ax = axis + (x.ndim - (2 if rule_keys[-1] == "w" or rule_keys[-1] == "embedding" else 1))
+                    if 0 <= ax < x.ndim and x.shape[ax] % n_model == 0:
+                        spec[ax] = "model"
+                    break
+        if n_data > 1 and x.size >= min_size:
+            order = sorted(range(x.ndim), key=lambda a: -x.shape[a])
+            for axis in order:
+                if spec[axis] is None and x.shape[axis] % n_data == 0:
+                    spec[axis] = "data"
+                    break
+        return P(*spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_fsdp_shardings(params, mesh: Mesh, min_size: int = 2**14):
+    specs = tp_fsdp_param_specs(params, mesh, min_size)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
