@@ -50,6 +50,7 @@ class TrainerConfig:
     mesh_data: Optional[int] = None  # default: all devices
     mesh_model: int = 1
     resume: bool = True
+    wandb_project: Optional[str] = None  # uses WANDB_PROJECT env if unset
 
 
 class Trainer:
@@ -96,6 +97,8 @@ class Trainer:
         self.aux_state = aux_state
         self._train_step = self._build_train_step(with_aux=aux_state is not None)
         self._ckptr = ocp.PyTreeCheckpointer()
+        self._metrics_file = None
+        self._wandb = self._init_wandb()
 
     # ------------------------------------------------------------------
 
@@ -205,11 +208,36 @@ class Trainer:
                     )
                     t0 = time.time()
                     print(json.dumps(log))
+                    self._log_metrics(log)
                 if self.step % self.cfg.save_steps == 0 or self.step == max_steps:
                     self.save_checkpoint()
         return log
 
     # ------------------------------------------------------------------
+
+    def _init_wandb(self):
+        """Optional W&B (reference: WANDB_PROJECT env + HF Trainer hook,
+        exp/base_exp.py:243,264-265); JSONL metrics always written."""
+        project = self.cfg.wandb_project or os.environ.get("WANDB_PROJECT")
+        if not project:
+            return None
+        try:
+            import wandb  # noqa: PLC0415
+
+            return wandb.init(project=project, dir=self.cfg.output_dir)
+        except Exception:  # noqa: BLE001 (offline / not installed)
+            return None
+
+    def _log_metrics(self, log: dict):
+        if self._metrics_file is None:
+            os.makedirs(self.cfg.output_dir, exist_ok=True)
+            self._metrics_file = open(
+                os.path.join(self.cfg.output_dir, "metrics.jsonl"), "a"
+            )
+        self._metrics_file.write(json.dumps(log) + "\n")
+        self._metrics_file.flush()
+        if self._wandb is not None:
+            self._wandb.log(log, step=self.step)
 
     def _ckpt_dir(self, step: int) -> str:
         return os.path.join(self.cfg.output_dir, f"checkpoint-{step}")

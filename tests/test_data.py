@@ -308,3 +308,33 @@ def test_dexdataset_end_to_end(dexdata_root):
     batch = c([ds[0], ds[5]])
     assert batch["input_ids"].shape == (2, 64)
     assert batch["images"].shape == (2, 16, 16, 3)
+
+
+def test_fast_image_native_kernel():
+    """Native C++ preprocessing matches the cv2/numpy reference path."""
+    pytest.importorskip("cv2")
+    from dexbotic_tpu.data.fast_image import (
+        available,
+        expand2square_fast,
+        preprocess_batch_fast,
+    )
+
+    if not available():
+        pytest.skip("no C++ toolchain")
+    import cv2
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 255, (4, 96, 128, 3), np.uint8)
+    out = preprocess_batch_fast(imgs, 64, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    assert out.shape == (4, 64, 64, 3) and out.dtype == np.float32
+    ref = np.stack([
+        (cv2.resize(im, (64, 64), interpolation=cv2.INTER_LINEAR).astype(np.float32)
+         / 255.0 - 0.5) / 0.5
+        for im in imgs
+    ])
+    assert np.abs(out - ref).max() < 0.02
+
+    sq = expand2square_fast(imgs[0], fill=(9, 8, 7))
+    assert sq.shape == (128, 128, 3)
+    assert sq[0, 0].tolist() == [9, 8, 7]
+    np.testing.assert_array_equal(sq[16:112], imgs[0])
