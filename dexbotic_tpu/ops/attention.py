@@ -99,7 +99,6 @@ def _flash_kernel(
     acc_scr,  # [BQ, D] fp32 accumulator
     *,
     kv_blocks: int,
-    scale: float,
 ):
     j = pl.program_id(3)
 
@@ -109,42 +108,50 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
-    v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
-
-    scores = jax.lax.dot_general(
-        q * scale,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [BQ, BK]
-
     qg = jnp.transpose(q_grp_ref[0])  # [BQ, 1]
     kg = kv_grp_ref[0]  # [1, BK]
     valid = kv_valid_ref[0]  # [1, BK]
     qs = jnp.transpose(q_seg_ref[0])  # [BQ, 1]
     ks_ = kv_seg_ref[0]  # [1, BK]
-    allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)  # [BQ, BK]
-    scores = jnp.where(allowed, scores, _NEG_INF)
 
-    m_prev = m_scr[:, :1]  # [BQ, 1]
-    m_cur = jnp.max(scores, axis=-1, keepdims=True)  # [BQ, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    # Guard fully-masked rows: exp(-inf - -inf) would be NaN.
-    p = jnp.exp(scores - m_new)  # [BQ, BK]
-    p = jnp.where(allowed, p, 0.0)
-    correction = jnp.exp(m_prev - m_new)
-    correction = jnp.where(m_prev == _NEG_INF, 0.0, correction)  # first block
-    l_new = correction * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
-        p,
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    # Block-level sparsity: skip kv blocks wholly above the block-causal
+    # boundary or wholly invalid (half the work for causal prefill).
+    kg_eff = jnp.where(valid > 0, kg, jnp.iinfo(jnp.int32).max)
+    relevant = jnp.min(kg_eff) <= jnp.max(qg)
+
+    @pl.when(relevant)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK] (q pre-scaled in the wrapper)
+
+        allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)  # [BQ, BK]
+        scores = jnp.where(allowed, scores, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [BQ, 1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)  # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # Guard fully-masked rows: exp(-inf - -inf) would be NaN.
+        p = jnp.exp(scores - m_new)  # [BQ, BK]
+        p = jnp.where(allowed, p, 0.0)
+        correction = jnp.exp(m_prev - m_new)
+        correction = jnp.where(m_prev == _NEG_INF, 0.0, correction)  # first block
+        l_new = correction * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * correction + jax.lax.dot_general(
+            p,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(j == kv_blocks - 1)
     def _finalize():
@@ -173,8 +180,8 @@ def flash_attention(
     kv_grp: jnp.ndarray,
     kv_valid: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 128,
-    block_kv: int = 128,
+    block_q: int = 256,
+    block_kv: int = 512,
     interpret: bool = False,
     q_seg: jnp.ndarray | None = None,
     kv_seg: jnp.ndarray | None = None,
@@ -194,7 +201,11 @@ def flash_attention(
 
     # Clamp the q block for short suffix sequences, keeping sublane alignment.
     block_q = min(block_q, max(8, ((Sq + 7) // 8) * 8))
+    block_kv = min(block_kv, max(128, ((Skv + 127) // 128) * 128))
     out_dtype = q.dtype
+
+    # Pre-scale q once (cheaper than per kv-block inside the kernel).
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     # Pad sequences to block multiples.
     qp = _pad_to(q, 1, block_q)
@@ -222,7 +233,7 @@ def flash_attention(
     grid = (B, Hq, qb, kb)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_blocks=kb, scale=scale),
+        functools.partial(_flash_kernel, kv_blocks=kb),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -277,12 +288,14 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-def _tpu_ok(head_dim: int) -> bool:
+def _tpu_ok(head_dim: int, kv_len: int = 0) -> bool:
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover
         return False
-    return platform == "tpu" and head_dim % 128 == 0
+    # XLA's fused attention wins below ~1k kv tokens on v5e; the Pallas
+    # kernel wins beyond (1.3-1.7x at 2k-8k, measured in BENCH_NOTES.md)
+    return platform == "tpu" and head_dim % 128 == 0 and kv_len >= 1024
 
 
 def attention(
@@ -303,7 +316,7 @@ def attention(
     Optional q_seg/kv_seg isolate packed sequences (NaVILA-style packing).
     """
     if impl == "auto":
-        impl = "pallas" if _tpu_ok(q.shape[-1]) else "xla"
+        impl = "pallas" if _tpu_ok(q.shape[-1], k.shape[1]) else "xla"
     if impl == "xla":
         return attention_xla(q, k, v, q_grp, kv_grp, kv_valid, scale,
                              q_seg=q_seg, kv_seg=kv_seg)
