@@ -1,8 +1,10 @@
 """Benchmark: action-chunk inference throughput on the real TPU chip.
 
-Measures the north-star metric (BASELINE.json): CogACT-style frame->action-
-chunk inference — ViT encode + LLM prefill + DDIM-10 denoise with CFG fused
-into ONE jitted program — in action chunks/sec/chip.
+Measures the north-star metric (BASELINE.json): frame->action-chunk
+inference fused into ONE jitted program, in action chunks/sec/chip.
+BENCH_MODEL=cogact (default): ViT + LLM prefill + DDIM-10 with CFG.
+BENCH_MODEL=pi0: 3-view SigLIP + PaliGemma-class prefill + 10 Euler steps
+against the frozen prefix KV cache.
 
 The reference publishes no throughput numbers (SURVEY.md §6); the baseline
 used for `vs_baseline` is a measured-estimate of the reference's PyTorch
@@ -69,6 +71,81 @@ def build(scale: str):
     )
 
 
+def build_pi0(scale: str):
+    import dataclasses
+
+    from dexbotic_tpu.models.flow_vla import pi0_config
+    from dexbotic_tpu.models.presets import (
+        GEMMA_2B, GEMMA_300M_EXPERT, SIGLIP_SO400M_224,
+    )
+    from dexbotic_tpu.nn.transformer import TransformerConfig
+    from dexbotic_tpu.nn.vit import ViTConfig
+
+    if scale == "test":
+        llm = TransformerConfig(vocab_size=2048, hidden_size=256, num_layers=2,
+                                num_heads=2, num_kv_heads=1, head_dim=128,
+                                intermediate_size=512, act="gelu_tanh",
+                                norm_offset=1.0, embed_scale=True)
+        expert = dataclasses.replace(llm, hidden_size=128, intermediate_size=256,
+                                     has_embed=False)
+        vit = ViTConfig(image_size=112, patch_size=14, hidden_size=256, num_layers=2,
+                        num_heads=4, intermediate_size=512, select_layer=None)
+    elif scale in ("1b", "2b"):
+        # PaliGemma-class but sized to fit one v5e chip comfortably;
+        # MoT requires matching layer counts across streams
+        n_layers = 12 if scale == "1b" else 18
+        llm = dataclasses.replace(GEMMA_2B, vocab_size=32768, num_layers=n_layers)
+        expert = dataclasses.replace(GEMMA_300M_EXPERT, num_layers=n_layers)
+        vit = SIGLIP_SO400M_224
+    else:  # full pi0 class
+        llm = GEMMA_2B
+        expert = GEMMA_300M_EXPERT
+        vit = SIGLIP_SO400M_224
+    return pi0_config(llm, expert, vit, action_dim=32, chunk_size=50,
+                      projector_type="linear")
+
+
+def main_pi0():
+    import jax
+    import jax.numpy as jnp
+
+    from dexbotic_tpu.models.flow_vla import flow_vla_inference_action, init_flow_vla
+
+    cfg = build_pi0(SCALE)
+    params = init_flow_vla(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 30000, (B, 48)))
+    tmask = jnp.ones((B, 48), jnp.int32)
+    size = cfg.vit.image_size
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 3, size, size, 3), jnp.bfloat16)
+    imasks = jnp.ones((B, 3), jnp.int32)
+    states = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.action_dim), jnp.bfloat16)
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    def bench_n(params, rng, n):
+        def body(carry, r):
+            out = flow_vla_inference_action(
+                params, cfg, ids, tmask, imgs, imasks, states, r
+            )
+            return carry + jnp.mean(out).astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
+        return acc
+
+    f = jax.jit(bench_n, static_argnums=(2,))
+    float(f(params, jax.random.PRNGKey(3), iters))
+    t0 = time.perf_counter()
+    float(f(params, jax.random.PRNGKey(4), iters))
+    dt = (time.perf_counter() - t0) / iters
+    baseline = {"test": 150.0, "1b": 20.0, "2b": 15.0, "7b": 12.0}.get(SCALE, 15.0)
+    print(json.dumps({
+        "metric": f"pi0_{SCALE}_action_chunks_per_sec_chip",
+        "value": round(B / dt, 3),
+        "unit": "chunks/s/chip",
+        "vs_baseline": round(B / dt / baseline, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -130,4 +207,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODEL", "cogact") == "pi0":
+        main_pi0()
+    else:
+        main()

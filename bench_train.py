@@ -35,7 +35,8 @@ def main():
     cfg = build(SCALE)
     params = init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5))
-    opt_state = tx.init(params)
+    # fp32 optimizer moments regardless of bf16 params
+    opt_state = tx.init(jax.tree.map(lambda x: x.astype(jnp.float32), params))
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
     nt = cfg.vlm.num_image_tokens
@@ -57,8 +58,11 @@ def main():
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
-        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        # bf16 grads (params dtype) + fp32 moments: fits AdamW-0.9B on one
+        # 16GB chip; moments promote the math to fp32 inside optax
         updates, opt_state = tx.update(grads, opt_state, params)
+        # keep param dtypes stable across the scan carry (bf16 params)
+        updates = jax.tree.map(lambda u, p: u.astype(p.dtype), updates, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 

@@ -80,10 +80,31 @@ def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
 
 
 class ActionServer:
-    """Generic one-model action server; subclass provides get_response()."""
+    """Generic one-model action server; subclass provides get_response().
 
-    def __init__(self, host: str = "0.0.0.0", port: int = 7891):
+    save_image_dir: when set, dumps each request's frames + response JSON
+    under sequentially-numbered files (the reference's debug episode dumps,
+    exp/base_exp.py:715-735)."""
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 7891,
+                 save_image_dir: str | None = None):
         self.host, self.port = host, port
+        self.save_image_dir = save_image_dir
+        self._dump_idx = 0
+
+    def _maybe_dump(self, fields, files, result):
+        if not self.save_image_dir:
+            return
+        import os
+
+        os.makedirs(self.save_image_dir, exist_ok=True)
+        i = self._dump_idx
+        self._dump_idx += 1
+        for j, (_, payload) in enumerate(files):
+            with open(f"{self.save_image_dir}/frame_{i:06d}_{j}.png", "wb") as f:
+                f.write(payload)
+        with open(f"{self.save_image_dir}/resp_{i:06d}.json", "w") as f:
+            json.dump({"fields": fields, "result": result}, f)
 
     def get_response(self, fields: dict, files: list) -> dict:
         raise NotImplementedError
@@ -100,6 +121,7 @@ class ActionServer:
                 try:
                     fields, files = parse_multipart(dict(self.headers), body)
                     result = server_self.get_response(fields, files)
+                    server_self._maybe_dump(fields, files, result)
                     payload = json.dumps(result).encode()
                     self.send_response(200)
                 except Exception as e:  # noqa: BLE001

@@ -89,8 +89,10 @@ class Trainer:
 
         self.tx = build_optimizer(optimizer_config, self.params, trainer_config.max_steps)
         with self.mesh:
+            # fp32 optimizer moments even for bf16 params (updates come back
+            # fp32; mismatched moment dtypes would silently retrigger compiles)
             self.opt_state = jax.jit(
-                self.tx.init, out_shardings=None
+                lambda p: self.tx.init(jax.tree.map(lambda x: x.astype(jnp.float32), p))
             )(self.params)
         self.step = 0
         self.rng = jax.random.PRNGKey(trainer_config.seed)
@@ -294,7 +296,9 @@ class Trainer:
         with open(os.path.join(path, "trainer_state.json")) as f:
             self.step = json.load(f)["step"]
         with self.mesh:
-            self.opt_state = jax.jit(self.tx.init)(self.params)
+            self.opt_state = jax.jit(
+                lambda p: self.tx.init(jax.tree.map(lambda x: x.astype(jnp.float32), p))
+            )(self.params)
         print(f"resumed from {path} at step {self.step}")
         return True
 
