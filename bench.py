@@ -46,6 +46,12 @@ def build(scale: str):
         vit = ViTConfig(image_size=112, patch_size=14, hidden_size=256, num_layers=2,
                         num_heads=4, intermediate_size=512, select_layer=None)
         dit = "DiT-S"
+    elif scale == "05b":
+        llm = TransformerConfig(vocab_size=32000, hidden_size=1536, num_layers=12,
+                                num_heads=12, num_kv_heads=12, head_dim=128,
+                                intermediate_size=4096)
+        vit = SIGLIP_SO400M_224
+        dit = "DiT-B"
     elif scale == "1b":
         llm = TransformerConfig(vocab_size=32000, hidden_size=2048, num_layers=16,
                                 num_heads=16, num_kv_heads=16, head_dim=128,

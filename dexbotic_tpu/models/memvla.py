@@ -26,7 +26,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dexbotic_tpu.models import dit as dit_mod
 from dexbotic_tpu.models.vlm import VLMConfig, encode_images, gather_last_hidden, init_vlm, splice_image_embeds, vlm_forward

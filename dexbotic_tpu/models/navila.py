@@ -15,13 +15,12 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from dexbotic_tpu.constants import IGNORE_INDEX
 from dexbotic_tpu.models.losses import causal_lm_loss, soft_cross_entropy_gaussian
-from dexbotic_tpu.models.vlm import VLMConfig, encode_images, init_vlm, splice_image_embeds
+from dexbotic_tpu.models.vlm import VLMConfig, init_vlm
 from dexbotic_tpu.nn.transformer import Stream, lm_logits, mot_forward
 
 

@@ -29,7 +29,7 @@ import numpy as np
 
 from dexbotic_tpu.models.vlm import VLMConfig, encode_images, init_vlm, splice_image_embeds
 from dexbotic_tpu.nn import core
-from dexbotic_tpu.nn.transformer import Stream, init_kv_cache, lm_logits, mot_forward
+from dexbotic_tpu.nn.transformer import Stream, lm_logits, mot_forward
 from dexbotic_tpu.ops.diffusion import DiffusionSchedule
 from dexbotic_tpu.ops.norms import layer_norm
 

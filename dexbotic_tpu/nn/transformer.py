@@ -18,7 +18,6 @@ Cache model: a fixed-shape KV cache pytree with a `length` pointer.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Sequence
 
 import jax

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import threading
-from typing import Any, Dict, List, Optional, Type
+from typing import Any, Dict, List, Type
 
 from dexbotic_tpu.sim_envs.base import BaseEnvWrapper, MockEnvWrapper
 

@@ -119,3 +119,44 @@ def test_grad_accumulation_equivalence(tmp_path):
         p2, _, m2 = t2._train_step(t2.params, t2.opt_state, batch, rng)
     # same data, different rng split per microbatch -> loss close, both finite
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_tp_fsdp_specs():
+    from jax.sharding import PartitionSpec as P
+
+    from dexbotic_tpu.parallel.mesh import make_mesh, tp_fsdp_param_specs
+
+    mesh = make_mesh(data=4, model=2)
+    p = init_cogact(jax.random.PRNGKey(0), COG)
+    specs = tp_fsdp_param_specs(p, mesh, min_size=64)
+    lyr = specs["vlm"]["llm"]["layers"]["attn"]
+    # stacked kernels [L, in, out]: q column-parallel, o row-parallel
+    assert lyr["q"]["w"] == P(None, "data", "model")
+    assert lyr["o"]["w"] == P(None, "model", "data")
+    assert specs["vlm"]["llm"]["layers"]["mlp"]["gate"]["w"][2] == "model"
+    assert specs["vlm"]["llm"]["layers"]["mlp"]["down"]["w"][1] == "model"
+
+
+def test_dataloader_and_device_prefetch():
+    from dexbotic_tpu.data.loader import DataLoader, device_prefetch
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32)}
+
+    def collate(items):
+        return {"x": np.stack([it["x"] for it in items])}
+
+    dl = DataLoader(DS(), collate, batch_size=4, num_workers=2, epochs=2, seed=0)
+    batches = list(dl)
+    assert len(batches) == 4  # 2 epochs x 2 full batches (drop_last)
+    assert batches[0]["x"].shape == (4, 3)
+    seen = sorted(set(batches[0]["x"][:, 0].astype(int)) | set(batches[1]["x"][:, 0].astype(int)))
+    assert len(seen) == 8  # distinct items within an epoch
+
+    dev_batches = list(device_prefetch(iter(batches), size=2))
+    assert len(dev_batches) == 4
+    assert hasattr(dev_batches[0]["x"], "devices")
