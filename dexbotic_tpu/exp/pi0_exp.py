@@ -106,9 +106,28 @@ class Pi0ActionConfig(base_exp.ActionConfig):
 
 
 @dataclass
+class Pi0InferenceConfig(base_exp.Config):
+    """Serving-side transform pipelines (exp/pi0_exp.py:343-514): input
+    state padding + output delta->absolute / relative->delta conversion."""
+
+    absolute_action: bool = False
+    relative_to_delta: bool = False
+    action_dim_out: int = 7  # env action dims (rest of the 32 are padding)
+
+    def build_output_transforms(self, meta_data: dict):
+        out = []
+        if self.relative_to_delta:
+            out.append(T.Relative2Delta())
+        if self.absolute_action:
+            out.append(T.AbsoluteAction())
+        return T.Pipeline(out), meta_data
+
+
+@dataclass
 class Pi0Exp(base_exp.BaseExp):
     exp_name: str = "pi0"
     model: FlowModelConfig = field(default_factory=FlowModelConfig)
+    inference_cfg: Pi0InferenceConfig = field(default_factory=Pi0InferenceConfig)
     action: Pi0ActionConfig = field(
         default_factory=lambda: Pi0ActionConfig(
             load_multimodal_masks=True, prompt_template="{prompt}"

@@ -228,4 +228,17 @@ class FlowVLAServer(ActionServer):
             d = min(out.shape[-1], len(lo))
             a = np.clip(out[:, :d], -1, 1)
             out = lo[:d] + (a + 1) * 0.5 * (hi[:d] - lo[:d])
+        # serving-side output transforms (delta->absolute etc.)
+        icfg = getattr(self.exp, "inference_cfg", None)
+        if icfg is not None:
+            d_out = getattr(icfg, "action_dim_out", out.shape[-1])
+            out = out[:, :d_out]
+            pipe, _ = icfg.build_output_transforms({})
+            data = {
+                "action": out,
+                "state": np.asarray(states_arr)[0, :d_out],
+                "meta_data": {"non_delta_mask": None, "periodic_mask": None,
+                               "periodic_range": None},
+            }
+            out = np.asarray(pipe(data)["action"]) if pipe.transforms else out
         return out.tolist()
