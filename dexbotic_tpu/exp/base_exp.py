@@ -322,7 +322,12 @@ class BaseExp:
             self.optimizer,
             norm_stats_json=norm_stats_json,
         )
-        batch_size = self.trainer.per_device_batch_size * trainer.mesh.shape["data"]
+        # per-step global batch = microbatch x data-parallel x accumulation
+        batch_size = (
+            self.trainer.per_device_batch_size
+            * trainer.mesh.shape["data"]
+            * self.trainer.gradient_accumulation_steps
+        )
         it = data_iterator(dataset, collator, batch_size, seed=self.trainer.seed)
         return trainer.train(it)
 
