@@ -186,42 +186,55 @@ class FlowVLAServer(ActionServer):
         self.num_images = exp.data.num_images
 
     def get_response(self, fields, files):
+        """Single or batched requests: with 'batch_size'=B, the posted images
+        are B groups of views in order (exp/pi0_exp.py:400-425 semantics) and
+        'states' carries B semicolon-separated vectors."""
         prompt = fields.get("text", "")
+        B = int(fields.get("batch_size", 1))
         tok = self.exp.build_tokenization(self.tokenizer)
         out = tok(conversations=[{"from": "human", "value": prompt}])
-        ids = jnp.asarray(out["input_ids"], jnp.int32)[None]
+        ids = jnp.tile(jnp.asarray(out["input_ids"], jnp.int32)[None], (B, 1))
         text_mask = (ids != 0).astype(jnp.int32)
 
         proc = self.exp.data.build_image_processor()
-        imgs, masks = [], []
         payloads = [p for _, p in files]
-        for i in range(self.num_images):
-            if i < len(payloads):
-                arr = to_numpy_image(Image.open(io.BytesIO(payloads[i])))
-                imgs.append(preprocess_image(arr, proc))
-                masks.append(1)
-            else:
-                imgs.append(np.zeros((proc.size, proc.size, 3), np.float32))
-                masks.append(0)
-        images = jnp.asarray(np.stack(imgs))[None]
-        image_masks = jnp.asarray(masks, jnp.int32)[None]
+        assert len(payloads) % B == 0, (
+            f"{len(payloads)} images not divisible by batch_size {B}"
+        )
+        per = len(payloads) // B
+        images_np = np.zeros((B, self.num_images, proc.size, proc.size, 3), np.float32)
+        masks_np = np.zeros((B, self.num_images), np.int32)
+        for b in range(B):
+            group = payloads[b * per : (b + 1) * per]
+            for i in range(min(per, self.num_images)):
+                arr = to_numpy_image(Image.open(io.BytesIO(group[i])))
+                images_np[b, i] = preprocess_image(arr, proc)
+                masks_np[b, i] = 1
+        images = jnp.asarray(images_np)
+        image_masks = jnp.asarray(masks_np)
 
         states = fields.get("states")
         dim = self.cfg.action_dim
+        s = np.zeros((B, dim), np.float32)
         if states:
-            s = np.zeros((1, dim), np.float32)
-            vals = np.asarray([float(x) for x in states.split(",")], np.float32)
-            s[0, : len(vals)] = vals
-            states_arr = jnp.asarray(s)
-        else:
-            states_arr = jnp.zeros((1, dim), jnp.float32)
+            rows = states.split(";")
+            for b, row in enumerate(rows[:B]):
+                vals = np.asarray([float(x) for x in row.split(",")], np.float32)
+                s[b, : len(vals)] = vals
+        states_arr = jnp.asarray(s)
 
         self.rng, r = jax.random.split(self.rng)
-        out = np.asarray(
+        raw = np.asarray(
             jax.device_get(
                 self.infer(ids, text_mask, images, image_masks, states_arr, r)
             )
-        )[0]
+        )
+        results = []
+        for b in range(B):
+            results.append(self._postprocess(raw[b], np.asarray(states_arr)[b]))
+        return results[0] if B == 1 else results
+
+    def _postprocess(self, out, state_row):
         if self.norms is not None:
             lo = np.asarray(self.norms["min"], np.float64)
             hi = np.asarray(self.norms["max"], np.float64)
@@ -236,7 +249,7 @@ class FlowVLAServer(ActionServer):
             pipe, _ = icfg.build_output_transforms({})
             data = {
                 "action": out,
-                "state": np.asarray(states_arr)[0, :d_out],
+                "state": state_row[:d_out],
                 "meta_data": {"non_delta_mask": None, "periodic_mask": None,
                                "periodic_range": None},
             }
