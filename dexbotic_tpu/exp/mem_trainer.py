@@ -78,3 +78,28 @@ def episode_batches(
             yield batch
     else:
         raise ValueError(mode)
+
+
+def length_grouped_batches(
+    lengths: list[int],
+    batch_size: int,
+    seed: int = 42,
+    group_factor: int = 8,
+):
+    """Length-grouped shuffled batches (NaVILA's LongVILADistributedSampler,
+    exp/navila_trainer.py:64-208): sort into length-similar mega-groups,
+    shuffle within, emit batches of similar-length samples so packing /
+    padding waste stays low.  Yields lists of dataset indices."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    order = sorted(range(len(lengths)), key=lambda i: lengths[i])
+    mega = batch_size * group_factor
+    batches = []
+    for s in range(0, len(order), mega):
+        group = order[s : s + mega]
+        rng.shuffle(group)
+        for b in range(0, len(group) - batch_size + 1, batch_size):
+            batches.append(group[b : b + batch_size])
+    rng.shuffle(batches)
+    return batches

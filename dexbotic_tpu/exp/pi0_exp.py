@@ -198,6 +198,46 @@ class Pi0Exp(base_exp.BaseExp):
         tokenizer = self.tokenizer.build_tokenizer()
         FlowVLAServer(self, cfg, params, tokenizer, norms).run()
 
+    def inference_single(self, images=None, prompt: str = "pick up the object",
+                          states=None):
+        import numpy as np
+
+        from dexbotic_tpu.data.image_processing import preprocess_image
+
+        cfg, params, norms = self.load_for_inference()
+        tokenizer = self.tokenizer.build_tokenizer()
+        tok = self.build_tokenization(tokenizer)
+        out = tok(conversations=[{"from": "human", "value": prompt}])
+        ids = jnp.asarray(out["input_ids"], jnp.int32)[None]
+        text_mask = (ids != 0).astype(jnp.int32)
+
+        proc = self.data.build_image_processor()
+        n = self.data.num_images
+        if images is None:
+            images = [np.zeros((proc.size, proc.size, 3), np.uint8)]
+        imgs = np.zeros((1, n, proc.size, proc.size, 3), np.float32)
+        masks = np.zeros((1, n), np.int32)
+        for i, im in enumerate(images[:n]):
+            imgs[0, i] = preprocess_image(np.asarray(im), proc)
+            masks[0, i] = 1
+        s = np.zeros((1, cfg.action_dim), np.float32)
+        if states is not None:
+            vals = np.asarray(states, np.float32).ravel()
+            s[0, : len(vals)] = vals
+
+        infer = self.make_infer_fn(cfg, params)
+        actions = np.asarray(jax.device_get(infer(
+            ids, text_mask, jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(s),
+            jax.random.PRNGKey(0),
+        )))[0]
+        if norms is not None:
+            lo = np.asarray(norms["min"]); hi = np.asarray(norms["max"])
+            d = min(actions.shape[-1], len(lo))
+            a = np.clip(actions[:, :d], -1, 1)
+            actions = lo[:d] + (a + 1) * 0.5 * (hi[:d] - lo[:d])
+        print(actions.tolist())
+        return actions
+
 
 @dataclass
 class Pi05Exp(Pi0Exp):
