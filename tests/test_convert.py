@@ -165,3 +165,82 @@ def test_siglip_vit_parity():
 
     ours = np.asarray(vit_forward(params, cfg, jnp.asarray(imgs.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(ours, expect, rtol=2e-3, atol=2e-3)
+
+
+def test_llava_full_vlm_splice_parity():
+    """Full VLM parity incl. the multimodal splice vs HF Llava — validates
+    the static-shape splice formulation end-to-end (SURVEY §7 hard part #1)."""
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig,
+        LlavaConfig,
+        LlavaForConditionalGeneration,
+    )
+
+    vc = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14, hidden_act="quick_gelu",
+    )
+    tc = LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, rms_norm_eps=1e-5,
+        tie_word_embeddings=False,
+    )
+    cfg_hf = LlavaConfig(
+        vision_config=vc, text_config=tc, image_token_index=120,
+        vision_feature_layer=-2, vision_feature_select_strategy="default",
+        projector_hidden_act="gelu",
+    )
+    torch.manual_seed(5)
+    hf = LlavaForConditionalGeneration(cfg_hf).eval()
+    sd = _numpy_sd(hf)
+
+    from dexbotic_tpu.models.vlm import VLMConfig, vlm_forward
+    from dexbotic_tpu.nn.transformer import TransformerConfig, lm_logits
+    from dexbotic_tpu.nn.vit import ViTConfig
+    from dexbotic_tpu.utils.convert import attach_lm_head, convert_llm, convert_vit
+
+    llm_cfg = TransformerConfig(
+        vocab_size=128, hidden_size=48, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=12, intermediate_size=96, rms_eps=1e-5, tie_embeddings=False,
+        attn_impl="xla",
+    )
+    vit_cfg = ViTConfig(
+        image_size=28, patch_size=14, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, act="quick_gelu", ln_eps=1e-5, use_cls=True,
+        pre_ln=True, select_layer=-2, drop_cls=True,
+    )
+    cfg = VLMConfig(llm=llm_cfg, vit=vit_cfg, projector_type="mlp2x_gelu")
+
+    llm = convert_llm(sd, llm_cfg, prefix="model.language_model.")
+    llm = attach_lm_head(llm, sd, "lm_head.weight")
+    vit = convert_vit(sd, vit_cfg, prefix="model.vision_tower.vision_model.")
+    proj = {
+        "fc0": {
+            "w": np.ascontiguousarray(sd["model.multi_modal_projector.linear_1.weight"].T),
+            "b": sd["model.multi_modal_projector.linear_1.bias"],
+        },
+        "fc1": {
+            "w": np.ascontiguousarray(sd["model.multi_modal_projector.linear_2.weight"].T),
+            "b": sd["model.multi_modal_projector.linear_2.bias"],
+        },
+    }
+    params = {"llm": llm, "vit": vit, "projector": proj}
+
+    # prompt with 4 pre-expanded image tokens at index 120 (HF's convention
+    # matches our static splice exactly)
+    ids_np = np.array([[1, 120, 120, 120, 120, 5, 6, 7]])
+    px = torch.randn(1, 3, 28, 28)
+    with torch.no_grad():
+        hf_logits = hf(input_ids=torch.tensor(ids_np), pixel_values=px).logits.numpy()
+
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+
+    ours_ids = np.where(ids_np == 120, IMAGE_TOKEN_INDEX, ids_np)
+    imgs = jnp.asarray(px.numpy().transpose(0, 2, 3, 1))[:, None]
+    hidden, _ = vlm_forward(
+        params, cfg, jnp.asarray(ours_ids), jnp.ones_like(jnp.asarray(ours_ids)),
+        images=imgs,
+    )
+    ours = np.asarray(lm_logits(llm, llm_cfg, hidden))
+    np.testing.assert_allclose(ours, hf_logits, rtol=3e-3, atol=3e-3)
