@@ -108,6 +108,57 @@ class MemVLAExp(base_exp.BaseExp):
             group_size=self.model.group_size, seed=self.trainer.seed,
         )
 
+    def train(self):
+        """Episode-ordered training: batches follow the mem-trainer schedule,
+        carry in-episode frame indices as 'timesteps' and per-row
+        'episode_reset' flags; the bank state threads through the Trainer
+        aux-state carry (exp/mem_trainer.py + exp/trainer.py)."""
+        import numpy as np
+
+        from dexbotic_tpu.data.collator import Collator
+        from dexbotic_tpu.exp.trainer import Trainer
+
+        self._auto_compute_norm_stats()
+        tokenizer = self.tokenizer.build_tokenizer()
+        cfg, params, loss_fn = self.build_model(tokenizer)
+        action_fn = self.action.build_action_process_func()
+        dataset = self.data.build_data(self.build_tokenization(tokenizer), action_fn)
+        collator = Collator(
+            pad_token_id=tokenizer.pad_token_id,
+            max_length=self.tokenizer.model_max_length,
+        )
+        with open(self.action.statistic_mapping) as f:
+            norm_stats_json = f.read()
+
+        B = self.trainer.per_device_batch_size
+        trainer = Trainer(
+            loss_fn, params, self.trainer, self.optimizer,
+            norm_stats_json=norm_stats_json,
+            aux_state=self.build_aux_state(B),
+        )
+
+        def batches():
+            while True:  # loop the schedule for multiple epochs
+                any_batch = False
+                for sched in self.make_data_schedule(dataset, B):
+                    if len(sched) < B:
+                        continue
+                    any_batch = True
+                    items = [dataset[i] for i, _ in sched]
+                    batch = collator(items)
+                    batch["timesteps"] = np.asarray(
+                        [float(dataset.global_index[i][2]) for i, _ in sched],
+                        np.float32,
+                    )
+                    batch["episode_reset"] = np.asarray(
+                        [start for _, start in sched], bool
+                    )
+                    yield batch
+                if not any_batch:
+                    return
+
+        return trainer.train(batches())
+
 
 class MemVLAInferenceSession:
     """Serving-side stateful session (cur_timestep + bank state)."""

@@ -23,8 +23,9 @@ def make_mesh(
     n = len(devices)
     if data is None:
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
+    need = data * model
+    assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+    arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -100,3 +100,35 @@ def test_inference_single(tmp_path, mini_suite, monkeypatch, capsys):
     exp = _make_exp(tmp_path, mini_suite)
     actions = exp.inference_single(prompt="stack the bowls")
     assert np.asarray(actions).shape == (4, 7)
+
+
+def test_memvla_exp_episode_ordered_train(tmp_path, mini_suite, monkeypatch):
+    """MemVLA exp end-to-end: episode-ordered schedule -> stateful trainer."""
+    monkeypatch.chdir(tmp_path)
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.memvla_exp import MemVLAExp, MemVLAModelConfig
+    from dexbotic_tpu.exp.optim import OptimizerConfig
+    from dexbotic_tpu.exp.trainer import TrainerConfig
+    from dexbotic_tpu.parallel.mesh import make_mesh
+    import jax
+
+    exp = MemVLAExp(
+        model=MemVLAModelConfig(
+            llm_preset="test", vit_preset="test", action_model_type="DiT-S",
+            action_dim=7, chunk_size=4, per_token_size=16, mem_length=3,
+            dataloader_type="parallel_stream",
+        ),
+        action=base_exp.ActionConfig(trajectory_length=4, padding_action=True),
+        data=base_exp.DataConfig(dataset_name="mini_all", image_processor="28"),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        trainer=TrainerConfig(
+            output_dir=str(tmp_path / "mem_out"), max_steps=4,
+            per_device_batch_size=2, logging_steps=1, save_steps=4,
+            bf16=False, resume=False, mesh_data=2,
+        ),
+        optimizer=OptimizerConfig(learning_rate=1e-4),
+    )
+    # 2-device mesh to match batch 2
+    log = exp.train()
+    assert log["step"] == 4
+    assert np.isfinite(log["loss"])
