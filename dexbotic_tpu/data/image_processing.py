@@ -89,6 +89,24 @@ def preprocess_image(image, cfg: ImageProcessorConfig) -> np.ndarray:
     return (arr - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
 
 
+def preprocess_images_batch(images, cfg: ImageProcessorConfig, use_native: bool = True) -> np.ndarray:
+    """Batch of identically-sized uint8 frames -> [B, size, size, 3] float32.
+
+    Uses the fused C++ kernel (csrc/fast_image.cpp) when available and the
+    frames share a shape; falls back to the per-image path."""
+    arrs = [to_numpy_image(im) for im in images]
+    if use_native and len({a.shape for a in arrs}) == 1 and arrs[0].dtype == np.uint8:
+        try:
+            from dexbotic_tpu.data.fast_image import preprocess_batch_fast
+
+            return preprocess_batch_fast(
+                np.stack(arrs), cfg.size, mean=cfg.mean, std=cfg.std
+            )
+        except Exception:  # noqa: BLE001 (no toolchain)
+            pass
+    return np.stack([preprocess_image(a, cfg) for a in arrs])
+
+
 # ---------------------------------------------------------------------------
 # Augmentation policies (host-side numpy; reference augmentations.py surface)
 # ---------------------------------------------------------------------------
