@@ -50,6 +50,7 @@ class TrainerConfig:
     mesh_data: Optional[int] = None  # default: all devices
     mesh_model: int = 1
     resume: bool = True
+    save_optimizer: bool = True  # persist moments for bit-exact resume
     wandb_project: Optional[str] = None  # uses WANDB_PROJECT env if unset
 
 
@@ -251,6 +252,13 @@ class Trainer:
         # 16-bit gather-on-save (exp/utils.py:10-21)
         host_params = jax.device_get(self.params)
         self._ckptr.save(os.path.join(path, "params"), host_params, force=True)
+        if self.cfg.save_optimizer:
+            # optax states are namedtuple pytrees; persist leaves positionally
+            # so restore can rebuild via the freshly-init state's treedef
+            # (reference keeps full ZeRO optimizer partitions in its ckpts)
+            leaves = jax.tree_util.tree_leaves(self.opt_state)
+            host_opt = {str(i): jax.device_get(x) for i, x in enumerate(leaves)}
+            self._ckptr.save(os.path.join(path, "opt_state"), host_opt, force=True)
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump({"step": self.step}, f)
         if self.norm_stats_json is not None:
@@ -299,6 +307,20 @@ class Trainer:
             self.opt_state = jax.jit(
                 lambda p: self.tx.init(jax.tree.map(lambda x: x.astype(jnp.float32), p))
             )(self.params)
+        opt_path = os.path.abspath(os.path.join(path, "opt_state"))
+        if os.path.isdir(opt_path):
+            host_opt = self._ckptr.restore(opt_path)
+            flat, treedef = jax.tree_util.tree_flatten(self.opt_state)
+            if len(host_opt) == len(flat):
+                restored = [
+                    jax.device_put(
+                        jnp.asarray(host_opt[str(i)], tgt.dtype), tgt.sharding
+                    )
+                    for i, tgt in enumerate(flat)
+                ]
+                self.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+            else:  # optimizer config changed since save; keep fresh init
+                print("opt_state checkpoint shape mismatch; reinitialized moments")
         print(f"resumed from {path} at step {self.step}")
         return True
 

@@ -94,6 +94,12 @@ def test_trainer_loss_decreases_and_checkpoints(tmp_path):
     )
     assert trainer2.maybe_resume()
     assert trainer2.step == 12
+    # optimizer moments round-trip bit-exactly (not re-initialized to zeros)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.opt_state),
+        jax.tree_util.tree_leaves(trainer2.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_grad_accumulation_equivalence(tmp_path):
