@@ -50,12 +50,11 @@ def parse_multipart(headers: dict, body: bytes):
     return fields, files
 
 
-def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
-    """Images + raw task prompt -> (input_ids, valid, images) device arrays.
+def _cogact_prompt_ids(exp, cfg, tokenizer, prompt: str) -> list:
+    """Raw task prompt -> token ids with image placeholders expanded.
 
     Mirrors the reference's serving path (exp/cogact_exp.py:145-167):
-    prompt template -> conversation template -> tokenizer_image_token;
-    image pad-to-square -> processor.
+    prompt template -> conversation template -> tokenizer_image_token.
     """
     template = exp.action.prompt_template
     text = template.format(prompt=prompt) if "{prompt}" in template else template
@@ -63,19 +62,29 @@ def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
     conv.append_message(conv.roles[0], text)
     conv.append_message(conv.roles[1], None)
     full = conv.get_prompt()
-    ids = tokenizer_image_token(
+    return tokenizer_image_token(
         full, tokenizer, num_image_tokens=cfg.vlm.num_image_tokens
     )
+
+
+def _cogact_image(payload, proc):
+    arr = to_numpy_image(
+        payload
+        if isinstance(payload, (np.ndarray, Image.Image))
+        else Image.open(io.BytesIO(payload))
+    )
+    arr = expand2square(arr, tuple(int(x * 255) for x in proc.mean))
+    return preprocess_image(arr, proc)
+
+
+def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
+    """Images + raw task prompt -> (input_ids, valid, images) device arrays
+    (batch of 1); image pad-to-square -> processor."""
+    ids = _cogact_prompt_ids(exp, cfg, tokenizer, prompt)
     input_ids = jnp.asarray(ids, jnp.int32)[None]
     valid = jnp.ones(input_ids.shape, jnp.int32)
-
     proc = exp.data.build_image_processor()
-    arrs = []
-    for im in images:
-        arr = to_numpy_image(im if isinstance(im, (np.ndarray, Image.Image)) else Image.open(io.BytesIO(im)))
-        arr = expand2square(arr, tuple(int(x * 255) for x in proc.mean))
-        arrs.append(preprocess_image(arr, proc))
-    imgs = jnp.asarray(np.stack(arrs))[None]  # [1, n, H, W, 3]
+    imgs = jnp.asarray(np.stack([_cogact_image(im, proc) for im in images]))[None]
     return input_ids, valid, imgs
 
 
@@ -160,18 +169,56 @@ class CogActServer(ActionServer):
         self.rng = jax.random.PRNGKey(0)
 
     def get_response(self, fields, files):
+        """Single or batched requests: with 'batch_size'=B the posted images
+        are B view-groups in order and 'text' may carry B semicolon-separated
+        prompts (one prompt replicates across rows); token rows are padded to
+        a common length with valid=0 tails."""
         prompt = fields.get("text", "")
-        images = [payload for _, payload in files]
-        ids, valid, imgs = prepare_cogact_inputs(
-            self.exp, self.cfg, self.tokenizer, images, prompt
+        B = int(fields.get("batch_size", 1))
+        prompts = prompt.split(";") if ";" in prompt else [prompt] * B
+        assert len(prompts) == B, f"{len(prompts)} prompts for batch_size {B}"
+        payloads = [payload for _, payload in files]
+        assert len(payloads) % B == 0, (
+            f"{len(payloads)} images not divisible by batch_size {B}"
+        )
+        per = len(payloads) // B
+
+        rows = [
+            _cogact_prompt_ids(self.exp, self.cfg, self.tokenizer, p)
+            for p in prompts
+        ]
+        L = max(len(r) for r in rows)
+        ids_np = np.zeros((B, L), np.int32)
+        valid_np = np.zeros((B, L), np.int32)
+        for b, r in enumerate(rows):
+            ids_np[b, : len(r)] = r
+            valid_np[b, : len(r)] = 1
+
+        proc = self.exp.data.build_image_processor()
+        imgs_np = np.stack(
+            [
+                np.stack(
+                    [
+                        _cogact_image(p, proc)
+                        for p in payloads[b * per : (b + 1) * per]
+                    ]
+                )
+                for b in range(B)
+            ]
         )
         self.rng, r = jax.random.split(self.rng)
-        out = np.asarray(jax.device_get(self.infer(ids, valid, imgs, r)))[0]
+        out = np.asarray(
+            jax.device_get(
+                self.infer(
+                    jnp.asarray(ids_np), jnp.asarray(valid_np), jnp.asarray(imgs_np), r
+                )
+            )
+        )
         if self.norms is not None:
             out = np.asarray(
                 denorm_actions(jnp.asarray(out), self.norms["min"], self.norms["max"])
             )
-        return out.tolist()
+        return out[0].tolist() if B == 1 else out.tolist()
 
 
 class FlowVLAServer(ActionServer):

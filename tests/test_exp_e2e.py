@@ -92,6 +92,34 @@ def test_cogact_exp_train_and_serve(tmp_path, mini_suite, monkeypatch):
     a2 = client.act(img, "stack the bowls")
     assert a2.shape == (7,)
     assert len(client.queue) == 2
+
+    # batched request: 2 view-groups, per-row prompts of different lengths
+    import io
+    import urllib.request
+
+    boundary = "XBX"
+    parts = [
+        (f"--{boundary}\r\nContent-Disposition: form-data; name=\"text\"\r\n\r\n"
+         "stack the bowls;pick up the small red block\r\n").encode(),
+        (f"--{boundary}\r\nContent-Disposition: form-data; name=\"batch_size\""
+         "\r\n\r\n2\r\n").encode(),
+    ]
+    for i in range(2):
+        buf = io.BytesIO()
+        Image.new("RGB", (64, 48), (i * 40, 90, 10)).save(buf, "PNG")
+        parts.append(
+            (f"--{boundary}\r\nContent-Disposition: form-data; name=\"im{i}\"; "
+             f"filename=\"f{i}.png\"\r\nContent-Type: image/png\r\n\r\n").encode()
+            + buf.getvalue() + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/process_frame", data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req) as r:
+        batched = np.asarray(json.loads(r.read()))
+    assert batched.shape == (2, 4, 7)
     httpd.shutdown()
 
 
