@@ -19,6 +19,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Union
 
+import jax
 import numpy as np
 
 from dexbotic_tpu.data import transforms as T
@@ -247,15 +248,30 @@ class DataConfig(Config):
         )
 
 
-def data_iterator(dataset, collator, batch_size: int, seed: int = 42, epochs: int = 10**6):
-    """Shuffled epoch iterator yielding collated numpy batches."""
+def data_iterator(
+    dataset,
+    collator,
+    batch_size: int,
+    seed: int = 42,
+    epochs: int = 10**6,
+    process_id: int = 0,
+    process_count: int = 1,
+):
+    """Shuffled epoch iterator yielding collated numpy batches.
+
+    batch_size is the GLOBAL per-step batch; with process_count > 1 each
+    process collates only its own contiguous slice of every global batch
+    (the DistributedSampler analogue — same seed => same permutation on all
+    hosts, disjoint rows per host)."""
     n = len(dataset)
     rng = random.Random(seed)
+    local = batch_size // process_count
+    lo, hi = process_id * local, (process_id + 1) * local
     for _ in range(epochs):
         order = list(range(n))
         rng.shuffle(order)
         for i in range(0, n - batch_size + 1, batch_size):
-            yield collator([dataset[j] for j in order[i : i + batch_size]])
+            yield collator([dataset[j] for j in order[i + lo : i + hi]])
 
 
 @dataclass
@@ -304,6 +320,9 @@ class BaseExp:
     # ---- tasks -----------------------------------------------------------
 
     def train(self):
+        from dexbotic_tpu.parallel import multihost
+
+        multihost.maybe_initialize()  # no-op unless DEXBOTIC_COORDINATOR set
         self._auto_compute_norm_stats()
         tokenizer = self.tokenizer.build_tokenizer()
         model_cfg, params, loss_fn = self.build_model(tokenizer)
@@ -328,7 +347,14 @@ class BaseExp:
             * trainer.mesh.shape["data"]
             * self.trainer.gradient_accumulation_steps
         )
-        it = data_iterator(dataset, collator, batch_size, seed=self.trainer.seed)
+        it = data_iterator(
+            dataset,
+            collator,
+            batch_size,
+            seed=self.trainer.seed,
+            process_id=jax.process_index(),
+            process_count=jax.process_count(),
+        )
         return trainer.train(it)
 
     def compute_norm_stats(self):

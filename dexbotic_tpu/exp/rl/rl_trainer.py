@@ -132,6 +132,34 @@ def flatten_rollouts(buf: RolloutBuffer) -> dict:
     }
 
 
+def allgather_rollouts(buf: RolloutBuffer, pad_prompt_to: Optional[int] = None) -> RolloutBuffer:
+    """Concatenate every process's rollout buffer into one global buffer.
+
+    The multi-host rollout exchange (reference: dist.all_gather of filtered
+    GRPO samples, exp/rl/rl_rollout_redis.py:17-110): each host collects its
+    own env episodes, then all hosts see the union, so the accuracy filter,
+    redistribution, and policy update are computed identically everywhere —
+    replicas stay in sync without explicit grad collectives.  No-op when
+    single-process.  pad_prompt_to right-pads input_ids/prompt_valid to a
+    common length (per-host prompt batches may have different max lengths)."""
+    if jax.process_count() == 1:
+        return buf
+    from dexbotic_tpu.parallel import multihost
+
+    if pad_prompt_to is not None and buf.input_ids.shape[1] < pad_prompt_to:
+        pad = pad_prompt_to - buf.input_ids.shape[1]
+        buf.input_ids = np.pad(buf.input_ids, ((0, 0), (0, pad)))
+        buf.prompt_valid = np.pad(buf.prompt_valid, ((0, 0), (0, pad)))
+    g = RolloutBuffer.__new__(RolloutBuffer)
+    g.n = buf.n * jax.process_count()
+    g.max_chunks = buf.max_chunks
+    g.obs = {k: np.asarray(multihost.allgather(v)) for k, v in buf.obs.items()}
+    for name in ("input_ids", "prompt_valid", "bins", "old_logp",
+                 "chunk_count", "success", "group_index"):
+        setattr(g, name, np.asarray(multihost.allgather(getattr(buf, name))))
+    return g
+
+
 def filter_and_redistribute(
     buf: RolloutBuffer, grpo_cfg: GRPOConfig, rollout_cfg: RolloutConfig, num_groups: int
 ) -> np.ndarray:

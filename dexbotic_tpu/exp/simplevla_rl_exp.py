@@ -23,6 +23,7 @@ from dexbotic_tpu.exp.rl.grpo import GRPOConfig
 from dexbotic_tpu.exp.rl.rl_trainer import (
     GRPOUpdater,
     RolloutConfig,
+    allgather_rollouts,
     collect_rollouts,
     filter_and_redistribute,
     flatten_rollouts,
@@ -129,14 +130,19 @@ class SimpleVLARLExp(base_exp.BaseExp):
             learning_rate=self.rl_learning_rate,
             temperature=self.rollout.temperature,
         )
-        host_rng = np.random.default_rng(self.trainer.seed)
-        rng = jax.random.PRNGKey(self.trainer.seed)
+        # multi-host: each process rolls out its own env batch (distinct
+        # seeds/tasks), then buffers are allgathered so the filter and the
+        # update are computed identically everywhere (replicas stay in sync)
+        pid, nproc = jax.process_index(), jax.process_count()
+        host_rng = np.random.default_rng(self.trainer.seed + pid)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.trainer.seed), pid)
         history = []
         for epoch in range(self.rl_epochs):
             for step in range(self.rl_steps_per_epoch):
                 tasks, trials, seeds, groups, n_groups = self.rl_data.sample_env_batch(
                     self.env, host_rng
                 )
+                groups = np.asarray(groups) + pid * n_groups  # globally unique
                 envs = create_env_batch(
                     self.env.env_type, self.env.task_suite_name, tasks, trials,
                     seeds, self.env, threaded=self.env.env_type != "mock",
@@ -147,6 +153,10 @@ class SimpleVLARLExp(base_exp.BaseExp):
                 for e in envs:
                     e.close()
 
+                buf = allgather_rollouts(
+                    buf, pad_prompt_to=self.tokenizer.model_max_length
+                )
+                n_groups = n_groups * nproc
                 idx = filter_and_redistribute(buf, self.grpo, self.rollout, n_groups)
                 # reorder episodes by the redistributed indices, then flatten
                 buf.obs = {k: v[idx] for k, v in buf.obs.items()}
@@ -164,7 +174,8 @@ class SimpleVLARLExp(base_exp.BaseExp):
                 metrics["epoch"] = epoch
                 metrics["step"] = step
                 history.append(metrics)
-                print(metrics)
+                if pid == 0:
+                    print(metrics)
         return params, history
 
 

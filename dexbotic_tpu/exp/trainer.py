@@ -24,8 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding
 
 from dexbotic_tpu.exp.optim import OptimizerConfig, build_optimizer
+from dexbotic_tpu.parallel import multihost
 from dexbotic_tpu.parallel.mesh import (
     batch_sharding,
     fsdp_shardings,
@@ -89,15 +91,26 @@ class Trainer:
         self.params = jax.tree.map(jax.device_put, params, self.param_shardings)
 
         self.tx = build_optimizer(optimizer_config, self.params, trainer_config.max_steps)
+        # fp32 optimizer moments even for bf16 params (updates come back
+        # fp32; mismatched moment dtypes would silently retrigger compiles)
+        _opt_init = lambda p: self.tx.init(  # noqa: E731
+            jax.tree.map(lambda x: x.astype(jnp.float32), p)
+        )
+        # explicit fsdp shardings for the moments (the ZeRO moment partition):
+        # without out_shardings the jit'd init returns constant zero arrays
+        # with uncommitted single-device placement, which breaks multi-host
+        # resume and leaves moment layout to chance
+        opt_abs = jax.eval_shape(_opt_init, self.params)
+        shard_fn = tp_fsdp_shardings if self.mesh.shape["model"] > 1 else fsdp_shardings
+        self.opt_shardings = shard_fn(opt_abs, self.mesh)
         with self.mesh:
-            # fp32 optimizer moments even for bf16 params (updates come back
-            # fp32; mismatched moment dtypes would silently retrigger compiles)
             self.opt_state = jax.jit(
-                lambda p: self.tx.init(jax.tree.map(lambda x: x.astype(jnp.float32), p))
+                _opt_init, out_shardings=self.opt_shardings
             )(self.params)
         self.step = 0
         self.rng = jax.random.PRNGKey(trainer_config.seed)
         self.aux_state = aux_state
+        self._batch_sharding = batch_sharding(self.mesh)
         self._train_step = self._build_train_step(with_aux=aux_state is not None)
         self._ckptr = ocp.PyTreeCheckpointer()
         self._metrics_file = None
@@ -172,8 +185,8 @@ class Trainer:
 
         return jax.jit(
             train_step,
-            in_shardings=(self.param_shardings, None, b_shard, r_shard),
-            out_shardings=(self.param_shardings, None, None),
+            in_shardings=(self.param_shardings, self.opt_shardings, b_shard, r_shard),
+            out_shardings=(self.param_shardings, self.opt_shardings, None),
             donate_argnums=(0, 1),
         )
 
@@ -192,6 +205,11 @@ class Trainer:
                     break
                 self.rng, step_rng = jax.random.split(self.rng)
                 batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+                if jax.process_count() > 1:
+                    # each process fed its own rows; assemble the global batch
+                    batch = multihost.local_batch_to_global(
+                        batch, self._batch_sharding
+                    )
                 if self.aux_state is not None:
                     (self.params, self.opt_state, self.aux_state, metrics) = (
                         self._train_step(
@@ -210,8 +228,9 @@ class Trainer:
                         1e-9, time.time() - t0
                     )
                     t0 = time.time()
-                    print(json.dumps(log))
-                    self._log_metrics(log)
+                    if multihost.is_primary():
+                        print(json.dumps(log))
+                        self._log_metrics(log)
                 if self.step % self.cfg.save_steps == 0 or self.step == max_steps:
                     self.save_checkpoint()
         return log
@@ -222,7 +241,7 @@ class Trainer:
         """Optional W&B (reference: WANDB_PROJECT env + HF Trainer hook,
         exp/base_exp.py:243,264-265); JSONL metrics always written."""
         project = self.cfg.wandb_project or os.environ.get("WANDB_PROJECT")
-        if not project:
+        if not project or not multihost.is_primary():
             return None
         try:
             import wandb  # noqa: PLC0415
@@ -247,24 +266,33 @@ class Trainer:
 
     def save_checkpoint(self):
         path = os.path.abspath(self._ckpt_dir(self.step))
-        os.makedirs(path, exist_ok=True)
         # gather-to-host fp32-free save: params as-is (bf16), like ZeRO-3's
-        # 16-bit gather-on-save (exp/utils.py:10-21)
-        host_params = jax.device_get(self.params)
-        self._ckptr.save(os.path.join(path, "params"), host_params, force=True)
+        # 16-bit gather-on-save (exp/utils.py:10-21); on multi-host the
+        # gather crosses processes and only the primary writes
+        host_params = multihost.host_copy(self.params)
+        host_opt = None
         if self.cfg.save_optimizer:
             # optax states are namedtuple pytrees; persist leaves positionally
             # so restore can rebuild via the freshly-init state's treedef
             # (reference keeps full ZeRO optimizer partitions in its ckpts)
             leaves = jax.tree_util.tree_leaves(self.opt_state)
-            host_opt = {str(i): jax.device_get(x) for i, x in enumerate(leaves)}
+            host_opt = {
+                str(i): x for i, x in enumerate(multihost.host_copy(leaves))
+            }
+        # orbax is multihost-aware: every process calls save (internal
+        # barriers), only the primary actually writes
+        self._ckptr.save(os.path.join(path, "params"), host_params, force=True)
+        if host_opt is not None:
             self._ckptr.save(os.path.join(path, "opt_state"), host_opt, force=True)
-        with open(os.path.join(path, "trainer_state.json"), "w") as f:
-            json.dump({"step": self.step}, f)
-        if self.norm_stats_json is not None:
-            with open(os.path.join(path, "norm_stats.json"), "w") as f:
-                f.write(self.norm_stats_json)
-        self._prune_checkpoints()
+        if multihost.is_primary():
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "trainer_state.json"), "w") as f:
+                json.dump({"step": self.step}, f)
+            if self.norm_stats_json is not None:
+                with open(os.path.join(path, "norm_stats.json"), "w") as f:
+                    f.write(self.norm_stats_json)
+            self._prune_checkpoints()
+        multihost.sync("checkpoint")
 
     def _prune_checkpoints(self):
         if not self.cfg.save_total_limit:
@@ -303,20 +331,18 @@ class Trainer:
         )
         with open(os.path.join(path, "trainer_state.json")) as f:
             self.step = json.load(f)["step"]
-        with self.mesh:
-            self.opt_state = jax.jit(
-                lambda p: self.tx.init(jax.tree.map(lambda x: x.astype(jnp.float32), p))
-            )(self.params)
+        # moments: fresh zeros from __init__ unless the checkpoint carries them
         opt_path = os.path.abspath(os.path.join(path, "opt_state"))
         if os.path.isdir(opt_path):
             host_opt = self._ckptr.restore(opt_path)
             flat, treedef = jax.tree_util.tree_flatten(self.opt_state)
+            flat_sh = jax.tree_util.tree_leaves(
+                self.opt_shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+            )
             if len(host_opt) == len(flat):
                 restored = [
-                    jax.device_put(
-                        jnp.asarray(host_opt[str(i)], tgt.dtype), tgt.sharding
-                    )
-                    for i, tgt in enumerate(flat)
+                    jax.device_put(np.asarray(host_opt[str(i)], tgt.dtype), s)
+                    for i, (tgt, s) in enumerate(zip(flat, flat_sh))
                 ]
                 self.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
             else:  # optimizer config changed since save; keep fresh init

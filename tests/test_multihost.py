@@ -1,0 +1,102 @@
+"""Two-process jax.distributed (gloo/CPU) coverage of the multi-host paths:
+global-batch assembly, primary-only checkpoint writes, optimizer-state
+restore across processes (the torchrun/DeepSpeed multi-node analogue,
+SURVEY.md §2.8)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import json, os, sys
+    sys.path.insert(0, os.environ["MH_REPO"])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dexbotic_tpu.parallel import multihost
+    assert multihost.maybe_initialize()
+    import jax.numpy as jnp
+    import numpy as np
+    from dexbotic_tpu.exp.optim import OptimizerConfig
+    from dexbotic_tpu.exp.trainer import Trainer, TrainerConfig
+
+    pid = jax.process_index()
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+    def loss_fn(params, batch, rng):
+        pred = batch["x"] @ params["w"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss, {}
+
+    params = {"w": jnp.ones((8, 4), jnp.float32)}
+    out = os.environ["MH_OUT"]
+    resume = os.environ.get("MH_RESUME") == "1"
+    steps = 4 if resume else 2
+    tcfg = TrainerConfig(output_dir=out, max_steps=steps, logging_steps=1,
+                         save_steps=2, bf16=False, resume=resume, seed=0)
+    tr = Trainer(loss_fn, params, tcfg, OptimizerConfig(learning_rate=1e-2))
+    if resume:
+        # moments restored (non-zero) before any new step runs
+        mu = jax.tree_util.tree_leaves(tr.opt_state)
+        tr.maybe_resume()
+        nz = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(tr.opt_state))
+        print(f"RESUMED step={tr.step} moments_abs={nz:.6f}", flush=True)
+    rs = np.random.RandomState(pid)  # each process feeds DIFFERENT rows
+    def batches():
+        while True:
+            yield {"x": rs.randn(2, 8).astype(np.float32),
+                   "y": rs.randn(2, 4).astype(np.float32)}
+    log = tr.train(batches())
+    print(f"FINAL pid={pid} step={tr.step} loss={log.get('loss')}", flush=True)
+""")
+
+
+def _run_pair(tmp_path, resume: bool):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {
+        **os.environ,
+        "DEXBOTIC_COORDINATOR": f"127.0.0.1:{port}",
+        "DEXBOTIC_NUM_PROCESSES": "2",
+        "MH_OUT": str(tmp_path / "out"),
+        "MH_REPO": REPO,
+        "MH_RESUME": "1" if resume else "0",
+    }
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", WORKER],
+            env={**env, "DEXBOTIC_PROCESS_ID": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{o[-3000:]}"
+    return outs
+
+
+def test_two_process_train_and_resume(tmp_path):
+    outs = _run_pair(tmp_path, resume=False)
+    assert "FINAL pid=0 step=2" in outs[0]
+    assert "FINAL pid=1 step=2" in outs[1]
+    ckpt = tmp_path / "out" / "checkpoint-2"
+    assert (ckpt / "params").exists() and (ckpt / "opt_state").exists()
+    # primary-only logging: metrics.jsonl written once, by process 0
+    metrics = (tmp_path / "out" / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) == 2
+    assert '"step": 1' in outs[0] and '"step": 1' not in outs[1]
+
+    outs = _run_pair(tmp_path, resume=True)
+    for o in outs:
+        assert "RESUMED step=2" in o
+        # restored moments are the saved ones, not re-init zeros
+        nz = float(o.split("moments_abs=")[1].split()[0])
+        assert nz > 0.0
+    assert "FINAL pid=0 step=4" in outs[0]
