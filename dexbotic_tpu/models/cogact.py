@@ -34,6 +34,8 @@ class CogActConfig:
     repeated_diffusion_steps: int = 4
     cfg_scale: float = 1.5
     ddim_steps: int = 10
+    sampler_unroll: int = 1  # DDIM scan unroll (see DiTConfig.scan_unroll)
+    dit_scan_unroll: int = 1  # DiT block-stack scan unroll
 
     @property
     def dit(self) -> dit_mod.DiTConfig:
@@ -42,6 +44,7 @@ class CogActConfig:
             token_size=self.vlm.llm.hidden_size,
             action_dim=self.action_dim,
             chunk_size=self.chunk_size,
+            scan_unroll=self.dit_scan_unroll,
         )
 
 
@@ -141,7 +144,7 @@ def cogact_inference_action(
         def eps_fn(x, t):
             return dit_mod.dit_forward_with_cfg(head, cfg.dit, x, t, z, cfg_scale)
 
-        samples = sched.ddim_sample(eps_fn, noise2, ddim_steps)
+        samples = sched.ddim_sample(eps_fn, noise2, ddim_steps, unroll=cfg.sampler_unroll)
         samples = samples[:B]
     else:
         z = cog[:, None, :].astype(jnp.float32)
@@ -149,7 +152,7 @@ def cogact_inference_action(
         def eps_fn(x, t):
             return dit_mod.dit_forward(head, cfg.dit, x, t, z)
 
-        samples = sched.ddim_sample(eps_fn, noise, ddim_steps)
+        samples = sched.ddim_sample(eps_fn, noise, ddim_steps, unroll=cfg.sampler_unroll)
     return samples
 
 

@@ -33,6 +33,10 @@ class DiTConfig:
     class_dropout_prob: float = 0.1
     freq_embed_size: int = 256
     mem_cross_attn: bool = False  # MemVLA memory-conditioned variant
+    # lax.scan unroll factor for the block stack: at B=1 the DiT is
+    # launch-bound (µs-scale fusions), so unrolling removes while-loop
+    # per-iteration overhead at some compile-time cost
+    scan_unroll: int = 1
 
     @property
     def seq_len(self) -> int:
@@ -159,7 +163,7 @@ def dit_forward(
         m = core.linear(bp["mlp"]["fc1"], jax.nn.gelu(core.linear(bp["mlp"]["fc0"], hn3), approximate=True))
         return hh + m, None
 
-    h, _ = jax.lax.scan(body, h, params["blocks"])
+    h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
     h = layer_norm(h, eps=1e-6)
     out = core.linear(params["final"], h)
     return out[:, 1:, :]  # drop cond token

@@ -72,6 +72,7 @@ class DiffusionSchedule:
         eps_fn,
         noise: jnp.ndarray,
         ddim_steps: int = 10,
+        unroll: int = 1,
     ) -> jnp.ndarray:
         """Deterministic DDIM (eta=0, clip_denoised=False) as one lax.scan.
 
@@ -94,7 +95,12 @@ class DiffusionSchedule:
             x_next = pred_x0 * jnp.sqrt(a_prev) + jnp.sqrt(1.0 - a_prev) * eps
             return x_next, None
 
-        x, _ = jax.lax.scan(step, noise.astype(jnp.float32), jnp.arange(ddim_steps - 1, -1, -1))
+        x, _ = jax.lax.scan(
+            step,
+            noise.astype(jnp.float32),
+            jnp.arange(ddim_steps - 1, -1, -1),
+            unroll=unroll,
+        )
         return x
 
 
