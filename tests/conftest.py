@@ -17,4 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: repeat suite runs skip XLA compiles (the suite is
+# compile-dominated — training-step grads at ~1-2 min each on first build)
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu", jax.devices()
