@@ -125,6 +125,7 @@ def cogact_inference_action(
     rng: jax.Array,
     cfg_scale: Optional[float] = None,
     ddim_steps: Optional[int] = None,
+    noise: Optional[jnp.ndarray] = None,  # injectable initial noise (parity/replay)
 ) -> jnp.ndarray:
     """Frame -> normalized action chunk [B, chunk, action_dim]; one jit unit."""
     cfg_scale = cfg.cfg_scale if cfg_scale is None else cfg_scale
@@ -132,7 +133,8 @@ def cogact_inference_action(
 
     cog, _ = cognition_feature(params, cfg, input_ids, valid, images)
     B = cog.shape[0]
-    noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
     sched = _schedule(cfg)
     head = params["action_head"]
 

@@ -77,12 +77,14 @@ def _block_init(key, cfg: DiTConfig, dtype):
         },
     }
     if cfg.mem_cross_attn:
-        # zero-init output proj so the module starts as identity
+        # zero-init output proj so the module starts as identity; norm3 is an
+        # AFFINE LayerNorm in the reference (memvla/action_model/dit.py:175)
         p["xattn"] = {
             "q": core.linear_init(ks[4], h, h, True, dtype, w_init=xavier, b_init=core.zeros_init()),
             "k": core.linear_init(ks[5], h, h, True, dtype, w_init=xavier, b_init=core.zeros_init()),
             "v": core.linear_init(ks[6], h, h, True, dtype, w_init=xavier, b_init=core.zeros_init()),
             "o": core.linear_init(ks[7], h, h, True, dtype, w_init=core.zeros_init(), b_init=core.zeros_init()),
+            "ln": {"w": jnp.ones((h,), jnp.float32), "b": jnp.zeros((h,), jnp.float32)},
         }
     return p
 
@@ -153,7 +155,7 @@ def dit_forward(
         a = attention_xla(q, k, v, grp, grp, valid)
         hh = hh + core.linear(bp["attn"]["o"], a.reshape(B, S, -1))
         if cfg.mem_cross_attn:
-            hn2 = layer_norm(hh, eps=1e-6)
+            hn2 = layer_norm(hh, bp["xattn"]["ln"]["w"], bp["xattn"]["ln"]["b"], eps=1e-6)
             q2 = core.linear(bp["xattn"]["q"], hn2).reshape(B, S, cfg.num_heads, cfg.head_dim)
             k2 = core.linear(bp["xattn"]["k"], mem).reshape(B, -1, cfg.num_heads, cfg.head_dim)
             v2 = core.linear(bp["xattn"]["v"], mem).reshape(B, -1, cfg.num_heads, cfg.head_dim)

@@ -277,6 +277,7 @@ def flow_vla_inference_action(
     rng: jax.Array,
     num_steps: Optional[int] = None,
     progress: Optional[jnp.ndarray] = None,  # [B, 1, 1] DM0-Prog input
+    noise: Optional[jnp.ndarray] = None,  # injectable initial noise (parity/replay)
 ):
     """Prefill prefix -> frozen KV cache -> Euler flow integration in one
     compiled program (pi0_arch.py:402-491).  With a progress input
@@ -303,7 +304,8 @@ def flow_vla_inference_action(
     prefix_grp_max = prefix_grp[:, -1:]
 
     dt = -1.0 / num_steps
-    noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
 
     def step(carry, _):
         x_t, time = carry

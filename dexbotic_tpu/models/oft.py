@@ -277,6 +277,7 @@ def oft_loss(params, cfg: OFTConfig, batch: dict, rng: jax.Array, remat: bool = 
 def oft_inference_action(
     params, cfg: OFTConfig, input_ids, valid, images,
     states=None, rng: Optional[jax.Array] = None, ddim_steps: Optional[int] = None,
+    noise: Optional[jnp.ndarray] = None,  # injectable initial noise (parity/replay)
 ):
     """Normalized action chunk [B, chunk, action_dim], one compiled program."""
     B = input_ids.shape[0]
@@ -309,7 +310,8 @@ def oft_inference_action(
     ddim_steps = ddim_steps or cfg.ddim_steps
     sched = DiffusionSchedule.create(cfg.num_diffusion_steps)
     cache = _prefill_prompt(params, cfg, prompt, valid)
-    noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
 
     def eps_fn(x, ts):
         time_emb = sinusoidal_time_encoding(ts, cfg.hidden)

@@ -71,6 +71,16 @@ def _stack(dicts: list) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _norm_params(sd: dict, name: str) -> dict:
+    """RMSNorm weight, or pi0.5's adaRMS dense (cond -> scale/shift/gate)
+    (/root/reference/dexbotic/model/pi05/transformers_pi05/gemma/
+    modeling_gemma.py:38-89: adaptive norms hold a `dense` Linear instead
+    of a `weight` vector)."""
+    if f"{name}.dense.weight" in sd:
+        return {"dense": _lin(sd, f"{name}.dense")}
+    return {"w": np.asarray(sd[f"{name}.weight"])}
+
+
 def convert_llm(sd: dict, cfg, prefix: str = "") -> dict:
     """HF decoder state_dict -> transformer params.  `prefix` example:
     'model.' (bare LlamaModel), 'model.llm.' (dexbotic VLM)."""
@@ -78,8 +88,8 @@ def convert_llm(sd: dict, cfg, prefix: str = "") -> dict:
     layers = []
     for i in range(cfg.num_layers):
         lp = {
-            "ln1": {"w": np.asarray(sd[f"layers.{i}.input_layernorm.weight"])},
-            "ln2": {"w": np.asarray(sd[f"layers.{i}.post_attention_layernorm.weight"])},
+            "ln1": _norm_params(sd, f"layers.{i}.input_layernorm"),
+            "ln2": _norm_params(sd, f"layers.{i}.post_attention_layernorm"),
             "attn": {
                 "q": _lin(sd, f"layers.{i}.self_attn.q_proj"),
                 "k": _lin(sd, f"layers.{i}.self_attn.k_proj"),
@@ -96,7 +106,7 @@ def convert_llm(sd: dict, cfg, prefix: str = "") -> dict:
             lp["attn"]["q_norm"] = {"w": np.asarray(sd[f"layers.{i}.self_attn.q_norm.weight"])}
             lp["attn"]["k_norm"] = {"w": np.asarray(sd[f"layers.{i}.self_attn.k_norm.weight"])}
         layers.append(lp)
-    params = {"layers": _stack(layers), "norm": {"w": np.asarray(sd["norm.weight"])}}
+    params = {"layers": _stack(layers), "norm": _norm_params(sd, "norm")}
     if cfg.has_embed and "embed_tokens.weight" in sd:
         emb = np.asarray(sd["embed_tokens.weight"])
         params["embed"] = {"embedding": emb}
@@ -176,8 +186,18 @@ def convert_vit(sd: dict, cfg, prefix: str = "vision_model.") -> dict:
 
 def convert_projector(sd: dict, projector_type: str, prefix: str = "mm_projector.") -> dict:
     sd = _strip(sd, prefix)
-    if projector_type == "linear":
-        return {"fc": _lin(sd, "")} if "weight" in sd else {"fc": {"w": np.asarray(sd["0.weight"]).T}}
+    import re
+
+    if projector_type == "linear" or re.match(r"^linear(\d+)x$", projector_type):
+        # reference 'linear'/'linear{N}x' is a bare nn.Linear -> keys are
+        # 'weight'/'bias' (mm_projector/builder.py:48-60); some checkpoints
+        # wrap it in a single-element Sequential ('0.weight')
+        if "weight" in sd:
+            p = {"w": np.ascontiguousarray(np.asarray(sd["weight"]).T)}
+            if "bias" in sd:
+                p["b"] = np.asarray(sd["bias"])
+            return {"fc": p}
+        return {"fc": _lin(sd, "0")}
     if projector_type.startswith("mlp") and "downsample" not in projector_type:
         # nn.Sequential: Linear at even indices (0, 2, 4, ...)
         out = {}
@@ -222,8 +242,27 @@ def convert_dit(sd: dict, cfg, prefix: str = "action_head.net.") -> dict:
                 "fc1": _lin(sd, pre + "mlp.fc2"),
             },
         }
+        if f"{pre}per_attn.in_proj_weight" in sd:
+            # MemVLA memory cross-attention: torch MultiheadAttention fused
+            # in_proj [3H, H] rows = [q; k; v] + affine norm3
+            # (memvla/action_model/dit.py:158-182)
+            w = np.asarray(sd[pre + "per_attn.in_proj_weight"])
+            b = np.asarray(sd[pre + "per_attn.in_proj_bias"])
+            h = w.shape[1]
+            blk["xattn"] = {
+                "q": {"w": np.ascontiguousarray(w[:h].T), "b": b[:h]},
+                "k": {"w": np.ascontiguousarray(w[h : 2 * h].T), "b": b[h : 2 * h]},
+                "v": {"w": np.ascontiguousarray(w[2 * h :].T), "b": b[2 * h :]},
+                "o": _lin(sd, pre + "per_attn.out_proj"),
+                "ln": {
+                    "w": np.asarray(sd[pre + "norm3.weight"]),
+                    "b": np.asarray(sd[pre + "norm3.bias"]),
+                },
+            }
         blocks.append(blk)
     params["blocks"] = _stack(blocks)
+    if "per_token_embedder.linear.weight" in sd:
+        params["per_token_embedder"] = _lin(sd, "per_token_embedder.linear")
     return params
 
 
@@ -259,3 +298,140 @@ def convert_flow_vla(sd: dict, cfg) -> dict:
         if f"{theirs}.weight" in sd and ours not in params:
             params[ours] = _lin(sd, theirs)
     return params
+
+
+# ---------------------------------------------------------------------------
+# OFT heads (oft/action_model/model.py)
+# ---------------------------------------------------------------------------
+
+
+def _convert_mlp_resnet(sd: dict, prefix: str, num_blocks: int = 2) -> dict:
+    """torch MLPResNet (model.py:104-126) -> our mlp_resnet layout."""
+    sd = _strip(sd, prefix)
+
+    def ln(name):
+        return {"w": np.asarray(sd[f"{name}.weight"]), "b": np.asarray(sd[f"{name}.bias"])}
+
+    return {
+        "ln1": ln("layer_norm1"),
+        "fc1": _lin(sd, "fc1"),
+        "ln2": ln("layer_norm2"),
+        "fc2": _lin(sd, "fc2"),
+        "blocks": [
+            {
+                "ln": ln(f"mlp_resnet_blocks.{i}.ffn.0"),
+                "fc": _lin(sd, f"mlp_resnet_blocks.{i}.ffn.1"),
+            }
+            for i in range(num_blocks)
+        ],
+    }
+
+
+def convert_oft(sd: dict, cfg) -> dict:
+    """DB-OFT checkpoint (L1 / Diffusion / Discrete head) -> our OFT params.
+    Reference layout: model.action_head.{action_query, model.* (MLPResNet),
+    noisy_action_projector.*, noise_predictor.mlp_resnet.*,
+    proprio_projector.*} (oft/action_model/model.py:129-271)."""
+    llm = convert_llm(sd, cfg.vlm.llm, prefix="model.llm.")
+    llm = attach_lm_head(llm, sd, "lm_head.weight")
+    vit = convert_vit(sd, cfg.vlm.vit, prefix="model.mm_vision_tower.vision_tower.vision_model.")
+    proj = convert_projector(sd, cfg.vlm.projector_type, prefix="model.mm_projector.")
+    head: dict = {}
+    t = cfg.action_model_type
+    if "L1" in t or "Linear" in t:
+        head["action_query"] = np.asarray(sd["model.action_head.action_query"])[0]
+        head["mlp"] = _convert_mlp_resnet(sd, "model.action_head.model.")
+    elif "Diffusion" in t or "DiT" in t:
+        head["noisy_action_projector"] = {
+            "fc1": _lin(sd, "model.action_head.noisy_action_projector.fc1"),
+            "fc2": _lin(sd, "model.action_head.noisy_action_projector.fc2"),
+        }
+        head["noise_predictor"] = _convert_mlp_resnet(
+            sd, "model.action_head.noise_predictor.mlp_resnet."
+        )
+    # Discrete: no extra head params (bin logits come from lm_head)
+    if cfg.use_proprio:
+        head["proprio_projector"] = {
+            "fc1": _lin(sd, "model.action_head.proprio_projector.fc1"),
+            "fc2": _lin(sd, "model.action_head.proprio_projector.fc2"),
+        }
+    return {"vlm": {"llm": llm, "vit": vit, "projector": proj}, "action_head": head}
+
+
+# ---------------------------------------------------------------------------
+# MemVLA (memvla/memvla_arch.py + memvla/action_model/dit.py)
+# ---------------------------------------------------------------------------
+
+
+def _conv1x1(sd, name):
+    """1x1 Conv2d [out, in, 1, 1] -> per-token linear."""
+    w = np.asarray(sd[f"{name}.weight"])
+    return {
+        "w": np.ascontiguousarray(w[:, :, 0, 0].T),
+        "b": np.asarray(sd[f"{name}.bias"]),
+    }
+
+
+def _convert_cross_block(sd: dict, prefix: str) -> dict:
+    """CrossTransformerBlock (memvla_arch.py:82-132) -> our cross_block."""
+    sd = _strip(sd, prefix)
+
+    def ln(name):
+        return {"w": np.asarray(sd[f"{name}.weight"]), "b": np.asarray(sd[f"{name}.bias"])}
+
+    return {
+        "q": _lin(sd, "q_proj"),
+        "k": _lin(sd, "k_proj"),
+        "v": _lin(sd, "v_proj"),
+        "attn_ln": ln("attn_norm"),
+        "ffn": {"fc1": _lin(sd, "ffn.0"), "fc2": _lin(sd, "ffn.3")},
+        "ffn_ln": ln("ffn_norm"),
+    }
+
+
+def convert_memvla(sd: dict, cfg) -> dict:
+    """DB-MemVLA checkpoint -> our MemVLA params (incl. the surgically-
+    rebuilt memory head, memvla_arch.py:511-533: per_compr SE bottleneck,
+    per/cog retrieval blocks + gates + timestep embedders, and the DiT with
+    per-token cross-attention)."""
+    llm = convert_llm(sd, cfg.vlm.llm, prefix="model.llm.")
+    llm = attach_lm_head(llm, sd, "lm_head.weight")
+    vit = convert_vit(sd, cfg.vlm.vit, prefix="model.mm_vision_tower.vision_tower.vision_model.")
+    proj = convert_projector(sd, cfg.vlm.projector_type, prefix="model.mm_projector.")
+
+    per_compr = {
+        "excite": {
+            "fc1": _conv1x1(sd, "model.per_compr.excite.1"),
+            "fc2": _conv1x1(sd, "model.per_compr.excite.3"),
+        },
+        "reduce": {
+            "fc1": _conv1x1(sd, "model.per_compr.reduce.0"),
+            "fc2": _conv1x1(sd, "model.per_compr.reduce.2"),
+        },
+    }
+
+    bank = {}
+    for role in ("per", "cog"):
+        role_p = {
+            "retrieval": [
+                _convert_cross_block(
+                    sd, f"model.per_cog_mem_bank.retrieval_blocks.{role}.{i}."
+                )
+                for i in range(cfg.retrieval_layers)
+            ]
+        }
+        gk = f"model.per_cog_mem_bank.gate_fusion_blocks.{role}.proj"
+        if f"{gk}.weight" in sd:
+            role_p["gate"] = {"proj": _lin(sd, gk)}
+        tk = f"model.per_cog_mem_bank.timestep_embedders.{role}.mlp"
+        if f"{tk}.0.weight" in sd:
+            role_p["time"] = {"fc0": _lin(sd, f"{tk}.0"), "fc1": _lin(sd, f"{tk}.2")}
+        bank[role] = role_p
+
+    dit = convert_dit(sd, cfg.dit, prefix="model.action_head.net.")
+    return {
+        "vlm": {"llm": llm, "vit": vit, "projector": proj},
+        "per_compr": per_compr,
+        "mem_bank": bank,
+        "action_head": dit,
+    }
