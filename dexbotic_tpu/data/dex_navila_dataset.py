@@ -21,6 +21,27 @@ class DexNavilaDataset(DexDataset):
         kw.setdefault("num_images", num_video_frames)
         super().__init__(*args, **kw)
         self.num_video_frames = num_video_frames
+        self._length_hints = None
+
+    def length_hints(self) -> list[int]:
+        """Cheap per-sample length proxy (prompt + answer chars) for the
+        length-grouped packing sampler (reference LongVILADistributedSampler,
+        exp/navila_trainer.py:64-208).  Image-token count is constant per
+        sample, so text length orders total sequence length."""
+        if self._length_hints is None:
+            per_file: dict[int, list[int]] = {}
+            hints = []
+            for _, file_idx, frame_idx in self.global_index:
+                if file_idx not in per_file:
+                    episode = load_jsonl(self.file_name_map[file_idx], parse=True)
+                    per_file[file_idx] = [
+                        len(str(fr.get("prompt", ""))) + len(str(fr.get("answer", "")))
+                        for fr in episode
+                    ]
+                lens = per_file[file_idx]
+                hints.append(lens[min(frame_idx, len(lens) - 1)] if lens else 0)
+            self._length_hints = hints
+        return self._length_hints
 
     def _history_indices(self, t: int) -> list[int]:
         """Uniform temporal sampling of [0, t] into num_video_frames slots

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dexbotic_tpu.exp import base_exp
-from dexbotic_tpu.exp.trainer import load_checkpoint_params
+from dexbotic_tpu.exp.mem_trainer import length_grouped_batches
+from dexbotic_tpu.exp.trainer import Trainer, load_checkpoint_params
 from dexbotic_tpu.models import presets
 from dexbotic_tpu.models.generate import generate
 from dexbotic_tpu.models.navila import (
@@ -20,6 +21,8 @@ from dexbotic_tpu.models.navila import (
     NaVILAConfig,
     init_navila,
     navila_loss,
+    navila_packed_loss,
+    pack_batch,
 )
 from dexbotic_tpu.models.vlm import VLMConfig
 
@@ -42,6 +45,11 @@ class NaVILAModelConfig(base_exp.Config):
     soft_ce_std: float = 1.0
     use_soft_ce: bool = True
     seed: int = 0
+    # training-time sequence packing (reference packs inside its trainer,
+    # navila_arch.py:256-360 + exp/navila_trainer.py:64-230)
+    use_packing: bool = True
+    pack_max_len: int = 0  # 0 -> tokenizer.model_max_length
+    samples_per_pack: int = 0  # 0 -> 2x packed rows
 
     def build_config(self) -> NaVILAConfig:
         return NaVILAConfig(
@@ -62,6 +70,36 @@ class NaVILAModelConfig(base_exp.Config):
 
 
 @dataclass
+class NaVILADataConfig(base_exp.DataConfig):
+    """Video-frame navigation data: DexNavilaDataset instead of DexDataset
+    (reference data/dataset/dex_navila_dataset.py)."""
+
+    num_video_frames: int = 8
+
+    def build_data(self, tokenization_func, action_process_func=None):
+        from dexbotic_tpu.data.dex_navila_dataset import DexNavilaDataset
+        from dexbotic_tpu.data.image_processing import PixelAug, PreprocessRGB
+
+        proc = self.build_image_processor()
+        img_fn = PreprocessRGB(
+            proc,
+            image_aspect_ratio=self.image_aspect_ratio,
+            augmentations=PixelAug(self.aug_policy)
+            if self.aug_policy and not isinstance(self.aug_policy, list)
+            else None,
+            image_pad_mode=self.image_pad_mode,
+        )
+        return DexNavilaDataset(
+            dataset_name=self.dataset_name,
+            tokenization_func=tokenization_func,
+            action_process_func=action_process_func,
+            image_process_func=[img_fn] * self.num_video_frames,
+            num_video_frames=self.num_video_frames,
+            data_keys=self.data_keys,
+        )
+
+
+@dataclass
 class NaVILAExp(base_exp.BaseExp):
     exp_name: str = "navila"
     model: NaVILAModelConfig = field(default_factory=NaVILAModelConfig)
@@ -73,8 +111,8 @@ class NaVILAExp(base_exp.BaseExp):
     action: base_exp.ActionConfig = field(
         default_factory=lambda: base_exp.ActionConfig(prompt_template=NAV_PROMPT)
     )
-    data: base_exp.DataConfig = field(
-        default_factory=lambda: base_exp.DataConfig(
+    data: NaVILADataConfig = field(
+        default_factory=lambda: NaVILADataConfig(
             num_images=8, image_processor="siglip_384",
             data_keys=["input_ids", "labels", "image"],
         )
@@ -83,14 +121,17 @@ class NaVILAExp(base_exp.BaseExp):
     def num_image_tokens(self) -> int:
         return self.model.build_config().vlm.num_image_tokens
 
+    def _digit_ids(self, tokenizer):
+        # numeric time tokens for the soft CE (digit byte tokens here;
+        # HF tokenizers: the ids of "0".."9")
+        return jnp.asarray(
+            [tokenizer.encode(str(d))[-1] for d in range(10)], jnp.int32
+        )
+
     def build_model(self, tokenizer):
         cfg = self.model.build_config()
         params = self.model.build_params(cfg)
-        # numeric time tokens for the soft CE (digit byte tokens here;
-        # HF tokenizers: the ids of "0".."9")
-        digit_ids = jnp.asarray(
-            [tokenizer.encode(str(d))[-1] for d in range(10)], jnp.int32
-        )
+        digit_ids = self._digit_ids(tokenizer)
 
         def loss_fn(params, batch, rng):
             return navila_loss(
@@ -100,6 +141,79 @@ class NaVILAExp(base_exp.BaseExp):
             )
 
         return cfg, params, loss_fn
+
+    # ---- packed training (the 4k-context efficiency path) ----------------
+
+    def train(self):
+        """Length-grouped + packed training when use_packing (default):
+        K samples per step are greedily packed into R = per_device_batch x
+        data-parallel static rows with segment-isolated attention — the
+        static-shape equivalent of the reference's repack_multimodal_data
+        (navila_arch.py:256-360) driven by its length-grouped sampler
+        (exp/navila_trainer.py:64-208)."""
+        if not self.model.use_packing:
+            return super().train()
+        from dexbotic_tpu.parallel import multihost
+
+        multihost.maybe_initialize()
+        assert self.trainer.gradient_accumulation_steps == 1, (
+            "packed NaVILA training packs the whole step; use more rows "
+            "instead of gradient accumulation"
+        )
+        tokenizer = self.tokenizer.build_tokenizer()
+        cfg = self.model.build_config()
+        params = self.model.build_params(cfg)
+        digit_ids = self._digit_ids(tokenizer)
+
+        def loss_fn(params, batch, rng):
+            return navila_packed_loss(
+                params, cfg, batch, rng,
+                soft_tokens=digit_ids if self.model.use_soft_ce else None,
+                remat=self.trainer.gradient_checkpointing,
+            )
+
+        dataset = self.data.build_data(self.build_tokenization(tokenizer))
+        from dexbotic_tpu.data.collator import Collator
+
+        collator = Collator(
+            pad_token_id=tokenizer.pad_token_id,
+            max_length=self.tokenizer.model_max_length,
+        )
+        trainer = Trainer(loss_fn, params, self.trainer, self.optimizer)
+
+        R = self.trainer.per_device_batch_size * trainer.mesh.shape["data"]
+        K = self.model.samples_per_pack or 2 * R
+        max_len = self.pack_max_len_resolved()
+        lengths = (
+            dataset.length_hints()
+            if hasattr(dataset, "length_hints")
+            else [1] * len(dataset)
+        )
+
+        def batches():
+            epoch = 0
+            while True:
+                for idxs in length_grouped_batches(
+                    lengths, K, seed=self.trainer.seed + epoch
+                ):
+                    if len(idxs) < K:
+                        continue
+                    items = [dataset[i] for i in idxs]
+                    base = collator(items)
+                    packed = pack_batch(
+                        base["input_ids"], base["labels"],
+                        base["attention_mask"].astype(np.int64),
+                        num_rows=R, max_len=max_len,
+                        pad_token_id=tokenizer.pad_token_id,
+                    )
+                    packed["images"] = base["images"].astype(np.float32)
+                    yield packed
+                epoch += 1
+
+        return trainer.train(batches())
+
+    def pack_max_len_resolved(self) -> int:
+        return self.model.pack_max_len or self.tokenizer.model_max_length
 
     def make_generate_fn(self, cfg, params, max_new_tokens: int = 48):
         eos = 0

@@ -18,10 +18,12 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from dexbotic_tpu.constants import IGNORE_INDEX
+import jax
+
+from dexbotic_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from dexbotic_tpu.models.losses import causal_lm_loss, soft_cross_entropy_gaussian
-from dexbotic_tpu.models.vlm import VLMConfig, init_vlm
-from dexbotic_tpu.nn.transformer import Stream, lm_logits, mot_forward
+from dexbotic_tpu.models.vlm import VLMConfig, encode_images, init_vlm
+from dexbotic_tpu.nn.transformer import Stream, embed_tokens, lm_logits, mot_forward
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,19 +53,27 @@ def pack_batch(
 ):
     """Greedily pack de-padded sequences (longest-first) into `num_rows` rows.
 
-    Returns dict with packed input_ids/labels/valid/positions/segments, all
-    [num_rows, max_len].  Sequences that don't fit are truncated with a
-    warning (static-shape budget).
+    Returns dict with packed input_ids/labels/valid/positions/segments plus
+    `img_index` — for every IMAGE_TOKEN_INDEX slot, the flattened index of
+    its feature row in the [B * tokens_per_sample] image-feature tensor of
+    the ORIGINAL (unpacked) batch — all [num_rows, max_len].  Labels at
+    segment starts are forced to IGNORE_INDEX so the HF-style global shift
+    never supervises a cross-segment target (matches unpacked semantics).
+    Sequences that don't fit the static budget are dropped with a warning.
     """
     B = input_ids.shape[0]
     lens = valid.sum(1).astype(int)
     order = np.argsort(-lens)
+    # per-sample image-token budget (constant across samples for a static map)
+    n_img = (input_ids == IMAGE_TOKEN_INDEX).sum(1).astype(int)
+    tokens_per_sample = int(n_img.max()) if B else 0
 
     out_ids = np.full((num_rows, max_len), pad_token_id, input_ids.dtype)
     out_labels = np.full((num_rows, max_len), IGNORE_INDEX, labels.dtype)
     out_valid = np.zeros((num_rows, max_len), np.int32)
     out_pos = np.zeros((num_rows, max_len), np.int32)
     out_seg = np.full((num_rows, max_len), -1, np.int32)
+    out_img = np.zeros((num_rows, max_len), np.int32)
     row_fill = np.zeros(num_rows, int)
     seg_counter = 0
     for i in order:
@@ -74,11 +84,17 @@ def pack_batch(
             if row_fill[r] + L <= max_len:
                 s = row_fill[r]
                 sel = valid[i].astype(bool)
-                out_ids[r, s : s + L] = input_ids[i][sel]
+                seq = input_ids[i][sel]
+                out_ids[r, s : s + L] = seq
                 out_labels[r, s : s + L] = labels[i][sel]
+                out_labels[r, s] = IGNORE_INDEX  # cross-segment guard
                 out_valid[r, s : s + L] = 1
                 out_pos[r, s : s + L] = np.arange(L)
                 out_seg[r, s : s + L] = seg_counter
+                is_img = seq == IMAGE_TOKEN_INDEX
+                out_img[r, s : s + L] = np.where(
+                    is_img, i * tokens_per_sample + np.cumsum(is_img) - 1, 0
+                )
                 row_fill[r] += L
                 seg_counter += 1
                 placed = True
@@ -93,6 +109,7 @@ def pack_batch(
         "attention_mask": out_valid,
         "positions": out_pos,
         "segments": out_seg,
+        "img_index": out_img,
     }
 
 
@@ -112,6 +129,46 @@ def navila_forward_packed(params, cfg: NaVILAConfig, packed: dict, images_embeds
         q_seg=seg,
     )
     return outs[0]
+
+
+def navila_packed_loss(
+    params,
+    cfg: NaVILAConfig,
+    batch: dict,
+    rng=None,
+    soft_tokens: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+):
+    """Training loss over PACKED rows (the reference packs inside its trainer,
+    navila_arch.py:256-360 + exp/navila_trainer.py:64-230; here packing is a
+    host-side collate and the device program is static-shape).
+
+    batch: pack_batch outputs (input_ids/labels/attention_mask/positions/
+    segments/img_index, [R, L]) + "images" [K, n_frames, H, W, 3] for the K
+    ORIGINAL samples.  Image features are gathered into the packed rows via
+    img_index, so the VLM encode stays one batched ViT call.
+    """
+    feats = encode_images(params["vlm"], cfg.vlm, batch["images"])  # [K, NT, H]
+    K, NT, H = feats.shape
+    feats_flat = feats.reshape(K * NT, H)
+
+    ids = batch["input_ids"]
+    is_img = ids == IMAGE_TOKEN_INDEX
+    safe_ids = jnp.where(is_img, 0, ids)
+    text = embed_tokens(params["vlm"]["llm"], cfg.vlm.llm, safe_ids)
+    idx = jnp.clip(batch["img_index"], 0, K * NT - 1)
+    gathered = jnp.take(feats_flat.astype(text.dtype), idx, axis=0)
+    embeds = jnp.where(is_img[..., None], gathered, text)
+
+    hidden = navila_forward_packed(params, cfg, batch, images_embeds=embeds, remat=remat)
+    logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hidden)
+    if cfg.use_soft_ce and soft_tokens is not None:
+        loss = soft_cross_entropy_gaussian(
+            logits, batch["labels"], soft_tokens, std=cfg.soft_ce_std
+        )
+    else:
+        loss = causal_lm_loss(logits, batch["labels"])
+    return loss, {"text_loss": loss, "loss": loss}
 
 
 def navila_loss(

@@ -4,6 +4,7 @@ import numpy as np
 
 from dexbotic_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from dexbotic_tpu.models.navila import (
+    navila_packed_loss,
     FrameHistoryBuffer,
     NaVILAConfig,
     init_navila,
@@ -98,6 +99,99 @@ def test_pack_batch_and_segment_isolation():
         if found:
             break
     assert found
+
+
+def test_packed_loss_matches_unpacked():
+    """Packing must not change the loss: same token targets, segment-isolated
+    attention, cross-segment targets masked (VERDICT r1 item 3)."""
+    frames = 2
+    cfg = NaVILAConfig(vlm=VLMConfig(llm=LLM_TEST, vit=VIT_TEST), num_video_frames=frames,
+                       use_soft_ce=False)
+    params = init_navila(jax.random.PRNGKey(0), cfg)
+    nt = cfg.vlm.num_image_tokens * frames
+    rs = np.random.RandomState(1)
+    B, L = 4, nt + 12
+    text_lens = [12, 9, 6, 4]
+    ids = np.zeros((B, L), np.int64)
+    labels = np.full((B, L), IGNORE_INDEX, np.int64)
+    valid = np.zeros((B, L), np.int64)
+    for i, tl in enumerate(text_lens):
+        ids[i, :nt] = IMAGE_TOKEN_INDEX
+        ids[i, nt : nt + tl] = rs.randint(1, 400, tl)
+        valid[i, : nt + tl] = 1
+        labels[i, nt + tl // 2 : nt + tl] = ids[i, nt + tl // 2 : nt + tl]
+    images = rs.randn(B, frames, 28, 28, 3).astype(np.float32)
+
+    loss_unpacked, _ = navila_loss(params, cfg, {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(valid, jnp.int32),
+        "labels": jnp.asarray(labels),
+        "images": jnp.asarray(images),
+    })
+
+    packed = pack_batch(ids, labels, valid, num_rows=2, max_len=2 * L,
+                        pad_token_id=0)
+    assert packed["attention_mask"].sum() == valid.sum()  # nothing dropped
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    batch["images"] = jnp.asarray(images)
+    loss_packed, _ = navila_packed_loss(params, cfg, batch)
+    np.testing.assert_allclose(float(loss_packed), float(loss_unpacked), rtol=2e-5)
+
+
+def test_navila_exp_packed_train(tmp_path, monkeypatch):
+    """End-to-end: NaVILAExp.train() runs the length-grouped + packed path
+    through the sharded Trainer (reference exp/navila_trainer.py:64-230)."""
+    import json as _json
+    import os
+
+    from PIL import Image
+
+    from dexbotic_tpu.data.registry import register_dataset
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.navila_exp import NaVILADataConfig, NaVILAExp, NaVILAModelConfig
+    from dexbotic_tpu.exp.optim import OptimizerConfig
+    from dexbotic_tpu.exp.trainer import TrainerConfig
+
+    root = str(tmp_path / "nav" / "nav_all")
+    os.makedirs(root)
+    rs = np.random.RandomState(0)
+    for e in range(2):
+        lines = []
+        for t in range(6):
+            Image.new("RGB", (64, 48), (e * 40, t * 20, 90)).save(f"{root}/e{e}f{t}.png")
+            lines.append(_json.dumps({
+                "images_1": {"type": "image", "url": f"e{e}f{t}.png"},
+                "prompt": "go to the kitchen " + "and onwards " * (t % 3),
+                "answer": f"move forward {t} steps",
+                "is_robot": True,
+            }))
+        open(f"{root}/e{e}.jsonl", "w").write("\n".join(lines))
+    register_dataset(
+        {"all": {"data_path_prefix": root, "annotations": root, "frequency": 1}},
+        prefix="navmini", meta_data={},
+    )
+    monkeypatch.chdir(tmp_path)
+
+    exp = NaVILAExp(
+        model=NaVILAModelConfig(
+            llm_preset="test", vit_preset="test", mm_projector_type="linear",
+            num_video_frames=2, use_packing=True, samples_per_pack=4,
+            pack_max_len=192,
+        ),
+        data=NaVILADataConfig(
+            dataset_name="navmini_all", image_processor="28",
+            num_video_frames=2, aug_policy=None,
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        trainer=TrainerConfig(
+            output_dir=str(tmp_path / "out"), max_steps=2, per_device_batch_size=1,
+            mesh_data=2, logging_steps=1, save_steps=100, bf16=False, resume=False,
+        ),
+        optimizer=OptimizerConfig(learning_rate=1e-4),
+    )
+    log = exp.train()
+    assert log["step"] == 2
+    assert np.isfinite(log["loss"])
 
 
 def test_frame_history_buffer():
