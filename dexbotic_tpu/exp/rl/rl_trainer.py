@@ -37,6 +37,9 @@ class RolloutConfig:
     temperature: float = 1.6
     accuracy_lower_bound: float = 0.0
     accuracy_upper_bound: float = 1.0
+    # drop prompt groups containing an episode that exhausted the step budget
+    # (reference filter_truncated, simplevla_rl_exp.py:329 + :1183-1199)
+    filter_truncated: bool = False
 
 
 class RolloutBuffer:
@@ -55,6 +58,7 @@ class RolloutBuffer:
         self.old_logp = np.zeros((num_envs, max_chunks, tokens_per_chunk), np.float32)
         self.chunk_count = np.zeros(num_envs, np.int32)
         self.success = np.zeros(num_envs, np.float32)
+        self.truncated = np.zeros(num_envs, np.float32)  # hit budget, never done
         self.group_index = np.zeros(num_envs, np.int32)
 
 
@@ -112,6 +116,7 @@ def collect_rollouts(
     for i, env in enumerate(envs):
         if env.is_active():  # budget exhausted
             buf.success[i] = float(env.is_complete())
+            buf.truncated[i] = 1.0
     return buf
 
 
@@ -155,28 +160,51 @@ def allgather_rollouts(buf: RolloutBuffer, pad_prompt_to: Optional[int] = None) 
     g.max_chunks = buf.max_chunks
     g.obs = {k: np.asarray(multihost.allgather(v)) for k, v in buf.obs.items()}
     for name in ("input_ids", "prompt_valid", "bins", "old_logp",
-                 "chunk_count", "success", "group_index"):
+                 "chunk_count", "success", "truncated", "group_index"):
         setattr(g, name, np.asarray(multihost.allgather(getattr(buf, name))))
     return g
 
 
 def filter_and_redistribute(
     buf: RolloutBuffer, grpo_cfg: GRPOConfig, rollout_cfg: RolloutConfig, num_groups: int
-) -> np.ndarray:
-    """Host-side accuracy filter + circular redistribution of surviving
-    episode indices to the original count (exp/rl/rl_rollout_redis.py:17-110
-    semantics; single-host variant — multi-host uses process_allgather)."""
+):
+    """Host-side accuracy (+ optional truncation) filter + GROUP-granular
+    circular redistribution back to the original group count, with fresh
+    group ids per redistributed block — the reference's filter -> circular
+    redistribute -> change_uid sequence (exp/rl/rl_rollout_redis.py:17-110,
+    simplevla_rl_exp.py:513-520, :1183-1199).
+
+    Returns (episode_idx, new_group_index): reorder episode arrays by
+    episode_idx and replace group_index with new_group_index before the
+    GRPO update."""
+    N = len(buf.success)
     keep = np.asarray(
         accuracy_filter(
             jnp.asarray(buf.success), jnp.asarray(buf.group_index), num_groups,
             rollout_cfg.accuracy_lower_bound, rollout_cfg.accuracy_upper_bound,
         )
     )
-    kept = np.nonzero(keep)[0]
-    if len(kept) == 0:
-        return np.arange(len(buf.success))  # nothing survives: keep all
-    reps = int(np.ceil(len(buf.success) / len(kept)))
-    return np.tile(kept, reps)[: len(buf.success)]
+    if rollout_cfg.filter_truncated:
+        # drop groups containing any truncated episode
+        cnt = np.zeros(num_groups)
+        np.add.at(cnt, buf.group_index, buf.truncated)
+        keep = keep & (cnt[buf.group_index] == 0)
+    kept_groups = np.unique(buf.group_index[keep.astype(bool)])
+    if len(kept_groups) == 0:
+        return np.arange(N), buf.group_index.copy()  # nothing survives: keep all
+    idx_blocks, new_groups = [], []
+    total = 0
+    for b in range(num_groups):
+        g = kept_groups[b % len(kept_groups)]
+        eps = np.nonzero(buf.group_index == g)[0]
+        idx_blocks.append(eps)
+        new_groups.append(np.full(len(eps), b, np.int32))
+        total += len(eps)
+        if total >= N:
+            break
+    idx = np.concatenate(idx_blocks)[:N]
+    new_group_index = np.concatenate(new_groups)[:N]
+    return idx, new_group_index
 
 
 def rl_policy_loss(
@@ -204,20 +232,36 @@ def rl_policy_loss(
     }
 
 
-def prepare_update_batch(flat: dict, grpo_cfg: GRPOConfig, num_groups: int) -> dict:
-    """Token rewards -> GRPO advantages over the flattened chunk samples."""
+def prepare_update_batch(
+    flat: dict,
+    grpo_cfg: GRPOConfig,
+    num_groups: int,
+    episode_success: Optional[np.ndarray] = None,
+    episode_group: Optional[np.ndarray] = None,
+) -> dict:
+    """Episode-level GRPO advantages broadcast to the episode's valid chunks.
+
+    Group statistics are computed over EPISODE outcome scores — one score
+    per rollout, exactly the reference's per-rollout grouping
+    (rl_base.py:35-74) — never over the flattened chunk rows, so padding
+    chunks don't dilute the z-score and episodes aren't weighted by their
+    chunk count (ADVICE r1)."""
     T = flat["bins"].shape[-1]
-    # each chunk sample carries the episode outcome at its last token
-    success = jnp.asarray(flat["success"]) * jnp.asarray(flat["chunk_valid"])
-    rewards = jnp.zeros((success.shape[0], T), jnp.float32)
-    rewards = rewards.at[:, -1].set(grpo_cfg.reward_coef * success)
+    ep = np.asarray(flat["episode"])
+    if episode_success is None:
+        _, first = np.unique(ep, return_index=True)
+        episode_success = np.asarray(flat["success"])[first]
+        episode_group = np.asarray(flat["group_index"])[first]
+    scores = grpo_cfg.reward_coef * jnp.asarray(episode_success, jnp.float32)
+    adv_ep, _ = grpo_outcome_advantage(
+        scores[:, None], jnp.ones_like(scores)[:, None],
+        jnp.asarray(episode_group), num_groups, grpo_cfg.epsilon,
+    )
     token_mask = jnp.broadcast_to(
-        jnp.asarray(flat["chunk_valid"])[:, None], rewards.shape
+        jnp.asarray(flat["chunk_valid"])[:, None],
+        (flat["chunk_valid"].shape[0], T),
     )
-    adv, _ = grpo_outcome_advantage(
-        rewards, token_mask, jnp.asarray(flat["group_index"]), num_groups,
-        grpo_cfg.epsilon,
-    )
+    adv = adv_ep[jnp.asarray(ep), 0][:, None] * token_mask
     return {
         "input_ids": jnp.asarray(flat["input_ids"]),
         "prompt_valid": jnp.asarray(flat["prompt_valid"]),
@@ -230,19 +274,24 @@ def prepare_update_batch(flat: dict, grpo_cfg: GRPOConfig, num_groups: int) -> d
 
 
 class GRPOUpdater:
-    """Micro-batched PPO update (optax; reuse across steps)."""
+    """Micro-batched PPO update (optax; reuse across steps).
+
+    With `mesh`, the update runs fully sharded: params/moments fsdp over the
+    'data' axis (ZeRO-3 analogue), micro-batches data-sharded — the GSPMD
+    equivalent of the reference training RL under DeepSpeed
+    (/root/reference/docs/RL.md:47-51); a 7B actor shards instead of OOMing."""
 
     def __init__(self, oft_cfg: OFTConfig, grpo_cfg: GRPOConfig, params,
                  learning_rate: float = 1e-6, max_grad_norm: float = 1.0,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0, mesh=None):
         self.oft_cfg = oft_cfg
         self.grpo_cfg = grpo_cfg
         self.temperature = temperature
+        self.mesh = mesh
         self.tx = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
             optax.adamw(learning_rate),
         )
-        self.opt_state = self.tx.init(params)
 
         def step(params, opt_state, batch):
             (loss, metrics), grads = jax.value_and_grad(
@@ -254,9 +303,51 @@ class GRPOUpdater:
             metrics["grad_norm"] = optax.global_norm(grads)
             return params, opt_state, metrics
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+        if mesh is None:
+            self.param_shardings = None
+            self.opt_state = self.tx.init(params)
+            self._step = jax.jit(step, donate_argnums=(0, 1))
+        else:
+            from dexbotic_tpu.parallel.mesh import (
+                batch_sharding,
+                fsdp_shardings,
+                tp_fsdp_shardings,
+            )
+
+            shard_fn = (
+                tp_fsdp_shardings if mesh.shape.get("model", 1) > 1 else fsdp_shardings
+            )
+            self.param_shardings = shard_fn(params, mesh)
+            params = jax.tree.map(jax.device_put, params, self.param_shardings)
+            opt_abs = jax.eval_shape(self.tx.init, params)
+            self.opt_shardings = shard_fn(opt_abs, mesh)
+            with mesh:
+                self.opt_state = jax.jit(
+                    self.tx.init, out_shardings=self.opt_shardings
+                )(params)
+            self._step = jax.jit(
+                step,
+                in_shardings=(
+                    self.param_shardings, self.opt_shardings, batch_sharding(mesh)
+                ),
+                out_shardings=(self.param_shardings, self.opt_shardings, None),
+                donate_argnums=(0, 1),
+            )
+
+    def shard_params(self, params):
+        """Place a host/replicated param tree onto the update mesh (no-op
+        without a mesh).  Call once before the rollout/update loop."""
+        if self.param_shardings is None:
+            return params
+        return jax.tree.map(jax.device_put, params, self.param_shardings)
 
     def update(self, params, batch: dict, micro_batch_size: int):
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            assert micro_batch_size % d == 0, (
+                f"micro_batch_size {micro_batch_size} not divisible by "
+                f"data-parallel size {d}"
+            )
         n = batch["bins"].shape[0]
         all_metrics = []
         for s in range(0, n - micro_batch_size + 1, micro_batch_size):

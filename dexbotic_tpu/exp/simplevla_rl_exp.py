@@ -30,6 +30,8 @@ from dexbotic_tpu.exp.rl.rl_trainer import (
     prepare_update_batch,
 )
 from dexbotic_tpu.models.oft import oft_generate_action
+from dexbotic_tpu.parallel.mesh import make_mesh
+from dexbotic_tpu.sim_envs.base import extract_rgb
 from dexbotic_tpu.sim_envs.factory import create_env_batch
 from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
 
@@ -98,13 +100,10 @@ class SimpleVLARLExp(base_exp.BaseExp):
             from dexbotic_tpu.data.image_processing import preprocess_image
 
             B = len(obs_list)
+            # backend-agnostic frame extraction (mock/robotwin nested dicts
+            # AND libero's flat agentview keys incl. its vertical flip)
             imgs = np.stack(
-                [
-                    preprocess_image(
-                        o["observation"]["head_camera"]["rgb"], proc
-                    )
-                    for o in obs_list
-                ]
+                [preprocess_image(extract_rgb(o), proc) for o in obs_list]
             )[:, None]
             L = nt + self.prompt_text_len
             ids = np.zeros((B, L), np.int64)
@@ -125,11 +124,24 @@ class SimpleVLARLExp(base_exp.BaseExp):
         cfg = self.model.build_config()
         params = self.model.build_params(cfg)
         tokenizer = self.tokenizer.build_tokenizer()
+        # sharded PPO update: params/moments fsdp over the mesh (the GSPMD
+        # analogue of the reference's DeepSpeed RL training, docs/RL.md:47-51)
+        import math
+
+        data = self.trainer.mesh_data
+        if data is None:
+            # largest data-parallel size the micro-batch can shard over
+            data = math.gcd(
+                len(jax.devices()) // self.trainer.mesh_model, self.micro_batch_size
+            ) or 1
+        mesh = make_mesh(data=data, model=self.trainer.mesh_model)
         updater = GRPOUpdater(
             cfg, self.grpo, params,
             learning_rate=self.rl_learning_rate,
             temperature=self.rollout.temperature,
+            mesh=mesh,
         )
+        params = updater.shard_params(params)
         # multi-host: each process rolls out its own env batch (distinct
         # seeds/tasks), then buffers are allgathered so the filter and the
         # update are computed identically everywhere (replicas stay in sync)
@@ -157,18 +169,24 @@ class SimpleVLARLExp(base_exp.BaseExp):
                     buf, pad_prompt_to=self.tokenizer.model_max_length
                 )
                 n_groups = n_groups * nproc
-                idx = filter_and_redistribute(buf, self.grpo, self.rollout, n_groups)
+                idx, new_groups = filter_and_redistribute(
+                    buf, self.grpo, self.rollout, n_groups
+                )
                 # reorder episodes by the redistributed indices, then flatten
                 buf.obs = {k: v[idx] for k, v in buf.obs.items()}
                 buf.bins = buf.bins[idx]
                 buf.old_logp = buf.old_logp[idx]
                 buf.chunk_count = buf.chunk_count[idx]
                 buf.success = buf.success[idx]
-                buf.group_index = buf.group_index[idx]
+                buf.truncated = buf.truncated[idx]
+                buf.group_index = new_groups
                 buf.input_ids = buf.input_ids[idx]
                 buf.prompt_valid = buf.prompt_valid[idx]
                 flat = flatten_rollouts(buf)
-                batch = prepare_update_batch(flat, self.grpo, n_groups)
+                batch = prepare_update_batch(
+                    flat, self.grpo, n_groups,
+                    episode_success=buf.success, episode_group=buf.group_index,
+                )
                 params, metrics = updater.update(params, batch, self.micro_batch_size)
                 metrics["success_rate"] = float(buf.success.mean())
                 metrics["epoch"] = epoch

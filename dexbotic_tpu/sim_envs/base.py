@@ -14,6 +14,17 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 
+def extract_rgb(obs) -> np.ndarray:
+    """Pull the policy camera frame out of an env observation, whatever the
+    backend's obs schema (mock/robotwin nested dicts vs libero flat keys;
+    libero renders upside down so its frame is flipped)."""
+    if "observation" in obs:  # mock / robotwin-style
+        return obs["observation"]["head_camera"]["rgb"]
+    if "agentview_image" in obs:  # libero
+        return obs["agentview_image"][::-1]
+    raise KeyError(f"no rgb in obs keys {list(obs)}")
+
+
 class BaseEnvWrapper(ABC):
     def __init__(self, task_name: str, trial_id: int, trial_seed: int, config: Any):
         self.task_name = task_name

@@ -23,6 +23,7 @@ from collections import defaultdict
 import numpy as np
 
 from dexbotic_tpu.client import DexClient
+from dexbotic_tpu.sim_envs.base import extract_rgb as _extract_rgb
 from dexbotic_tpu.sim_envs.factory import create_env_batch
 
 
@@ -67,14 +68,6 @@ def evaluate(
         "wall_s": round(time.time() - t_start, 1),
     }
     return report
-
-
-def _extract_rgb(obs) -> np.ndarray:
-    if "observation" in obs:  # mock / robotwin-style
-        return obs["observation"]["head_camera"]["rgb"]
-    if "agentview_image" in obs:  # libero
-        return obs["agentview_image"][::-1]  # libero renders upside down
-    raise KeyError(f"no rgb in obs keys {list(obs)}")
 
 
 def main():
