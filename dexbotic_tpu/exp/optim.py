@@ -28,6 +28,11 @@ class OptimizerConfig:
     max_grad_norm: float = 1.0
     warmup_ratio: float = 0.03
     lr_scheduler_type: str = "cosine"  # 'cosine' | 'constant' | 'linear'
+    # first-class freeze (reference ModelConfig.freeze_*, base_exp.py:268-331):
+    # frozen subtrees get set_to_zero, which allocates NO optimizer moments
+    freeze_llm: bool = False  # decoder stack (lm_head stays trainable)
+    freeze_mm_projector: bool = False
+    freeze_mm_vision: bool = False
 
 
 def _group_of(path: tuple) -> str:
@@ -65,8 +70,22 @@ def make_schedule(cfg: OptimizerConfig, base_lr: float, total_steps: int):
     )
 
 
+def _is_frozen(path: tuple, cfg: OptimizerConfig) -> bool:
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    if cfg.freeze_llm and "llm" in keys and "lm_head" not in keys:
+        # reference freeze_llm freezes model.backbone; lm_head lives outside
+        return True
+    if cfg.freeze_mm_projector and ("projector" in keys or "mm_projector" in keys):
+        return True
+    if cfg.freeze_mm_vision and ("vit" in keys or "mm_vision" in keys):
+        return True
+    return False
+
+
 def build_optimizer(cfg: OptimizerConfig, params, total_steps: int):
-    """optax GradientTransformation with per-group LRs; freeze via lr=0."""
+    """optax GradientTransformation with per-group LRs.  Frozen subtrees
+    (freeze_* flags or group lr=0) map to set_to_zero — no updates AND no
+    moment state allocated for them (unlike plain lr=0 scheduling)."""
     group_lrs = {
         "base": cfg.learning_rate,
         "mm_projector": cfg.mm_projector_lr or cfg.learning_rate,
@@ -87,10 +106,12 @@ def build_optimizer(cfg: OptimizerConfig, params, total_steps: int):
             ),
         )
 
-    labels = param_group_labels(params)
-    tx = optax.multi_transform(
-        {g: make_group(lr) for g, lr in group_lrs.items()}, labels
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, x: "frozen" if _is_frozen(p, cfg) else _group_of(p), params
     )
+    transforms = {g: make_group(lr) for g, lr in group_lrs.items()}
+    transforms["frozen"] = optax.set_to_zero()
+    tx = optax.multi_transform(transforms, labels)
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx

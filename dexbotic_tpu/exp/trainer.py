@@ -54,6 +54,10 @@ class TrainerConfig:
     resume: bool = True
     save_optimizer: bool = True  # persist moments for bit-exact resume
     wandb_project: Optional[str] = None  # uses WANDB_PROJECT env if unset
+    # adapter-only checkpoints: save just the mm-projector subtree (+ norm
+    # stats), the reference's tune_mm_mlp_adapter mode writing only
+    # mm_projector.bin (exp/trainer.py:38-86)
+    adapter_save: bool = False
 
 
 class Trainer:
@@ -203,7 +207,11 @@ class Trainer:
             for batch in data_iter:
                 if self.step >= max_steps:
                     break
-                self.rng, step_rng = jax.random.split(self.rng)
+                # resume-invariant per-step stream: fold_in(seed, step) gives
+                # the same draw for step N whether or not training restarted
+                # (sequential splits would replay the start-of-training noise
+                # after resume; ADVICE r1)
+                step_rng = jax.random.fold_in(self.rng, self.step)
                 batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
                 if jax.process_count() > 1:
                     # each process fed its own rows; assemble the global batch
@@ -266,6 +274,20 @@ class Trainer:
 
     def save_checkpoint(self):
         path = os.path.abspath(self._ckpt_dir(self.step))
+        if self.cfg.adapter_save:
+            adapter = extract_adapter(multihost.host_copy(self.params))
+            assert adapter, "adapter_save: no projector params found"
+            self._ckptr.save(os.path.join(path, "adapter"), adapter, force=True)
+            if multihost.is_primary():
+                os.makedirs(path, exist_ok=True)
+                with open(os.path.join(path, "trainer_state.json"), "w") as f:
+                    json.dump({"step": self.step, "adapter_only": True}, f)
+                if self.norm_stats_json is not None:
+                    with open(os.path.join(path, "norm_stats.json"), "w") as f:
+                        f.write(self.norm_stats_json)
+                self._prune_checkpoints()
+            multihost.sync("checkpoint")
+            return
         # gather-to-host fp32-free save: params as-is (bf16), like ZeRO-3's
         # 16-bit gather-on-save (exp/utils.py:10-21); on multi-host the
         # gather crosses processes and only the primary writes
@@ -325,6 +347,16 @@ class Trainer:
         path = self.latest_checkpoint()
         if path is None:
             return False
+        if os.path.isdir(os.path.join(path, "adapter")):
+            host_adapter = self._ckptr.restore(
+                os.path.abspath(os.path.join(path, "adapter"))
+            )
+            self.params = apply_adapter(self.params, host_adapter)
+            self.params = jax.tree.map(jax.device_put, self.params, self.param_shardings)
+            with open(os.path.join(path, "trainer_state.json")) as f:
+                self.step = json.load(f)["step"]
+            print(f"resumed adapter-only checkpoint from {path} at step {self.step}")
+            return True
         host = self._ckptr.restore(os.path.abspath(os.path.join(path, "params")))
         self.params = jax.tree.map(
             lambda x, s: jax.device_put(jnp.asarray(x), s), host, self.param_shardings
@@ -351,6 +383,49 @@ class Trainer:
         return True
 
 
-def load_checkpoint_params(path: str):
-    """Load params from a checkpoint-{step} dir (host pytree)."""
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
+def extract_adapter(params) -> dict:
+    """Flat {path: leaf} of the mm-projector subtree (the 'adapter')."""
+    out = {}
+
+    def visit(path, x):
+        s = _path_str(path)
+        if "projector" in s:
+            out[s] = np.asarray(x)
+        return x
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return out
+
+
+def apply_adapter(params, adapter: dict):
+    """Merge a flat adapter dict back into a full param tree by path."""
+    applied = set()
+
+    def visit(path, x):
+        s = _path_str(path)
+        if s in adapter:
+            applied.add(s)
+            return jnp.asarray(np.asarray(adapter[s]), getattr(x, "dtype", None))
+        return x
+
+    merged = jax.tree_util.tree_map_with_path(visit, params)
+    missing = set(adapter) - applied
+    assert not missing, f"adapter keys not found in params: {sorted(missing)[:5]}"
+    return merged
+
+
+def load_checkpoint_params(path: str, base_params=None):
+    """Load params from a checkpoint-{step} dir (host pytree).  Adapter-only
+    checkpoints (adapter_save mode) require `base_params` to merge into."""
+    adapter_dir = os.path.join(path, "adapter")
+    if os.path.isdir(adapter_dir):
+        assert base_params is not None, (
+            f"{path} is an adapter-only checkpoint; pass base_params"
+        )
+        adapter = ocp.PyTreeCheckpointer().restore(os.path.abspath(adapter_dir))
+        return apply_adapter(base_params, adapter)
     return ocp.PyTreeCheckpointer().restore(os.path.abspath(os.path.join(path, "params")))

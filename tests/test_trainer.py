@@ -102,6 +102,118 @@ def test_trainer_loss_decreases_and_checkpoints(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_freeze_flags_exclude_moments_and_updates():
+    """freeze_* flags: no updates AND no optimizer moments for frozen
+    subtrees (VERDICT r1 item 7; reference base_exp.py:268-331)."""
+    p = init_cogact(jax.random.PRNGKey(0), COG)
+    cfg = OptimizerConfig(learning_rate=0.1, freeze_llm=True, freeze_mm_vision=True)
+    tx = build_optimizer(cfg, p, 10)
+    state = tx.init(p)
+    # moment state holds leaves only for trainable params: count them
+    n_params = len(jax.tree_util.tree_leaves(p))
+    n_llm_vit = len(jax.tree_util.tree_leaves(p["vlm"]["llm"])) + len(
+        jax.tree_util.tree_leaves(p["vlm"]["vit"])
+    )
+    n_lm_head = len(jax.tree_util.tree_leaves(p["vlm"]["llm"].get("lm_head", {})))
+    n_state = len(jax.tree_util.tree_leaves(state))
+    # adam keeps 2 moments (mu, nu) per trainable leaf (+ scalar counts)
+    n_trainable = n_params - n_llm_vit + n_lm_head
+    assert n_state < 2 * n_params  # frozen leaves excluded
+    assert n_state >= 2 * n_trainable
+
+    grads = jax.tree.map(jnp.ones_like, p)
+    updates, state = tx.update(grads, state, p)
+    updates, _ = tx.update(grads, state, p)
+    assert float(jnp.abs(updates["vlm"]["llm"]["layers"]["ln1"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(updates["vlm"]["vit"]["pos_embed"]).sum()) == 0.0
+    assert float(jnp.abs(updates["action_head"]["x_embed"]["w"]).sum()) > 0.0
+    # lm_head stays trainable under freeze_llm (reference freezes backbone only)
+    if "lm_head" in p["vlm"]["llm"]:
+        assert float(jnp.abs(updates["vlm"]["llm"]["lm_head"]["w"]).sum()) > 0.0
+
+
+def test_adapter_only_checkpoint_roundtrip(tmp_path):
+    """adapter_save writes only the projector subtree; resume and serve-load
+    merge it into base params (reference mm_projector.bin mode)."""
+    from dexbotic_tpu.exp.trainer import apply_adapter, extract_adapter
+
+    params = init_cogact(jax.random.PRNGKey(0), COG)
+    tcfg = TrainerConfig(
+        output_dir=str(tmp_path), max_steps=4, per_device_batch_size=1,
+        save_steps=4, bf16=False, resume=False, adapter_save=True,
+        save_optimizer=False,
+    )
+    trainer = Trainer(
+        _loss_fn, params, tcfg,
+        OptimizerConfig(learning_rate=1e-3, freeze_llm=True, freeze_mm_vision=True),
+        norm_stats_json='{"norm_stats": {}}',
+    )
+    trainer.train(iter([_batch() for _ in range(4)]))
+    ckpt = trainer.latest_checkpoint()
+    import os
+
+    assert os.path.isdir(os.path.join(ckpt, "adapter"))
+    assert not os.path.isdir(os.path.join(ckpt, "params"))  # adapter only
+    assert os.path.exists(os.path.join(ckpt, "norm_stats.json"))
+
+    # serve-load: merge adapter into an independent base tree
+    base = init_cogact(jax.random.PRNGKey(0), COG)
+    merged = load_checkpoint_params(ckpt, base_params=base)
+    # projector weights come from training, the rest from base
+    np.testing.assert_array_equal(
+        np.asarray(merged["vlm"]["vit"]["pos_embed"]),
+        np.asarray(base["vlm"]["vit"]["pos_embed"]),
+    )
+    trained_proj = extract_adapter(jax.tree.map(np.asarray, trainer.params))
+    merged_proj = extract_adapter(merged)
+    for k in trained_proj:
+        np.testing.assert_allclose(merged_proj[k], trained_proj[k], rtol=1e-6)
+    # and the projector actually moved vs base
+    base_proj = extract_adapter(base)
+    assert any(
+        np.abs(base_proj[k] - merged_proj[k]).max() > 0 for k in base_proj
+    )
+
+    # resume path: a fresh trainer picks the adapter up
+    trainer2 = Trainer(
+        _loss_fn, init_cogact(jax.random.PRNGKey(0), COG),
+        TrainerConfig(**{**tcfg.__dict__, "resume": True}),
+        OptimizerConfig(learning_rate=1e-3),
+    )
+    assert trainer2.maybe_resume()
+    assert trainer2.step == 4
+
+
+def test_resume_invariant_rng(tmp_path):
+    """fold_in(seed, step) per-step rng: step N uses the same randomness with
+    or without a resume in between (ADVICE r1)."""
+    params = init_cogact(jax.random.PRNGKey(0), COG)
+    tcfg = TrainerConfig(
+        output_dir=str(tmp_path / "x"), max_steps=4, per_device_batch_size=1,
+        save_steps=2, bf16=False, resume=False,
+    )
+    batches = [_batch() for _ in range(4)]
+    t1 = Trainer(_loss_fn, params, tcfg, OptimizerConfig(learning_rate=1e-3))
+    t1.train(iter(batches))
+
+    # same 4 steps, but restart after step 2
+    tcfg2 = TrainerConfig(**{**tcfg.__dict__, "output_dir": str(tmp_path / "y"),
+                             "max_steps": 2})
+    t2 = Trainer(_loss_fn, init_cogact(jax.random.PRNGKey(0), COG), tcfg2,
+                 OptimizerConfig(learning_rate=1e-3))
+    t2.train(iter(batches[:2]))
+    tcfg3 = TrainerConfig(**{**tcfg2.__dict__, "max_steps": 4, "resume": True})
+    t3 = Trainer(_loss_fn, init_cogact(jax.random.PRNGKey(1), COG), tcfg3,
+                 OptimizerConfig(learning_rate=1e-3))
+    t3.train(iter(batches[2:]))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.tree.map(np.asarray, t1.params)),
+        jax.tree_util.tree_leaves(jax.tree.map(np.asarray, t3.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_grad_accumulation_equivalence(tmp_path):
     batch = _batch(8)
 
