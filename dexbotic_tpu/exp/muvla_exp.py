@@ -23,6 +23,7 @@ class MUVLAModelConfig(base_exp.Config):
     mm_projector_type: str = "mlp2x_gelu"
     inter_dim: int = 1024
     num_history_queries: int = 192
+    fuse_heads: Optional[int] = None
     seed: int = 0
 
     def build_config(self) -> MUVLAConfig:
@@ -35,6 +36,7 @@ class MUVLAModelConfig(base_exp.Config):
             obs_vit=presets.VIT_PRESETS[self.obs_vit_preset],
             inter_dim=self.inter_dim,
             num_history_queries=self.num_history_queries,
+            fuse_heads=self.fuse_heads,
         )
 
     def build_params(self, cfg):
@@ -65,6 +67,32 @@ class MUVLAExp(base_exp.BaseExp):
             return muvla_loss(params, cfg, batch, rng, remat=self.trainer.gradient_checkpointing)
 
         return cfg, params, loss_fn
+
+    def make_generate_fn(self, cfg, params, max_new_tokens: int = 32,
+                         eos_token_id: int = 0, temperature: float = 0.0):
+        """AR decode over fused map+obs tokens (muvla_arch.py:609-682)."""
+        from dexbotic_tpu.models.muvla import muvla_generate
+
+        @jax.jit
+        def _gen(params, ids, valid, map_img, obs_imgs, rng):
+            return muvla_generate(
+                params, cfg, ids, valid, map_img, obs_imgs,
+                max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+                temperature=temperature, rng=rng,
+            )
+
+        return lambda ids, valid, map_img, obs_imgs, rng: _gen(
+            params, ids, valid, map_img, obs_imgs, rng
+        )
+
+    def inference(self):
+        """Serve MUVLA text actions over /process_frame (map view first)."""
+        from dexbotic_tpu.exp.serve import MUVLAServer
+
+        tokenizer = self.tokenizer.build_tokenizer()
+        cfg, params, _ = self.build_model(tokenizer)
+        server = MUVLAServer(self, cfg, params, tokenizer)
+        server.run()
 
 
 if __name__ == "__main__":

@@ -100,6 +100,12 @@ class ActionServer:
         self.host, self.port = host, port
         self.save_image_dir = save_image_dir
         self._dump_idx = 0
+        # ThreadingHTTPServer handles requests concurrently but model state
+        # (self.rng splits, _dump_idx) is mutable: serialize request handling
+        # (the reference serves threaded=False, base_exp.py:652-653)
+        import threading
+
+        self._lock = threading.Lock()
 
     def _maybe_dump(self, fields, files, result):
         if not self.save_image_dir:
@@ -129,8 +135,9 @@ class ActionServer:
                 t0 = time.monotonic()
                 try:
                     fields, files = parse_multipart(dict(self.headers), body)
-                    result = server_self.get_response(fields, files)
-                    server_self._maybe_dump(fields, files, result)
+                    with server_self._lock:
+                        result = server_self.get_response(fields, files)
+                        server_self._maybe_dump(fields, files, result)
                     payload = json.dumps(result).encode()
                     self.send_response(200)
                 except Exception as e:  # noqa: BLE001
@@ -219,6 +226,52 @@ class CogActServer(ActionServer):
                 denorm_actions(jnp.asarray(out), self.norms["min"], self.norms["max"])
             )
         return out[0].tolist() if B == 1 else out.tolist()
+
+
+class MUVLAServer(ActionServer):
+    """Map-understanding VLA serving: first posted image is the MAP view,
+    the rest are observation views (current + history); responds with the
+    generated action text (muvla_arch.py:609-682 AR path)."""
+
+    def __init__(self, exp, cfg, params, tokenizer, host="0.0.0.0", port=7891,
+                 max_new_tokens: int = 32):
+        super().__init__(host, port)
+        self.exp, self.cfg, self.tokenizer = exp, cfg, tokenizer
+        self.max_new_tokens = max_new_tokens
+        self.gen = exp.make_generate_fn(cfg, params, max_new_tokens=max_new_tokens)
+        self.rng = jax.random.PRNGKey(0)
+
+    def get_response(self, fields, files):
+        prompt = fields.get("text", "")
+        payloads = [p for _, p in files]
+        assert len(payloads) >= 2, "MUVLA needs a map view + >=1 obs view"
+        proc = self.exp.data.build_image_processor()
+
+        def decode(p):
+            arr = to_numpy_image(
+                p if isinstance(p, (np.ndarray, Image.Image))
+                else Image.open(io.BytesIO(p))
+            )
+            return preprocess_image(arr, proc)
+
+        map_img = jnp.asarray(decode(payloads[0]))[None]
+        obs = jnp.asarray(np.stack([decode(p) for p in payloads[1:]]))[None]
+        n_views = obs.shape[1]
+
+        nt = self.cfg.num_fused_tokens(n_views)
+        ids = tokenizer_image_token(
+            f"<image>\n{prompt}", self.tokenizer, num_image_tokens=nt
+        )
+        input_ids = jnp.asarray(ids, jnp.int32)[None]
+        valid = jnp.ones(input_ids.shape, jnp.int32)
+
+        self.rng, r = jax.random.split(self.rng)
+        tokens, _ = self.gen(input_ids, valid, map_img, obs, r)
+        toks = [int(t) for t in np.asarray(tokens)[0]]
+        eos = getattr(self.tokenizer, "eos_token_id", 0) or 0
+        if eos in toks:
+            toks = toks[: toks.index(eos)]
+        return {"text": self.tokenizer.decode(toks)}
 
 
 class FlowVLAServer(ActionServer):

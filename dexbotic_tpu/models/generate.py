@@ -28,18 +28,23 @@ def generate(
     pad_token_id: int = 0,
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,  # pre-spliced prompt embeds
 ):
     """Returns (tokens int[B, max_new_tokens], logprobs float[B, max_new_tokens]).
 
     Positions/attention groups continue causally from each row's true prompt
     length, so right-padding does not shift RoPE (the decode-stage mask
     rebuild of dexbotic_arch.py:375-412 falls out of the grp/valid scheme).
+    Callers with custom token fusion (e.g. MUVLA's map+obs tokens) pass
+    `inputs_embeds` directly (the reference's custom
+    prepare_inputs_for_generation, muvla_arch.py:609-682).
     """
     B, S = input_ids.shape
     valid = valid.astype(jnp.int32)
     cache = init_kv_cache(cfg.llm, B, S + max_new_tokens, dtype=jnp.bfloat16)
     hidden, cache = vlm_forward(
-        params, cfg, input_ids, valid, images=images, cache=cache, update_cache=True
+        params, cfg, input_ids, valid, images=images, cache=cache,
+        update_cache=True, inputs_embeds=inputs_embeds,
     )
 
     # logits at each row's last valid prompt token

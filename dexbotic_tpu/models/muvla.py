@@ -42,6 +42,14 @@ class MUVLAConfig:
     def heads(self) -> int:
         return self.fuse_heads or self.inter_dim // 64
 
+    def num_fused_tokens(self, n_views: int) -> int:
+        """Fused map+obs token count the prompt must hold placeholders for:
+        history queries (when history views exist) + current-view tokens."""
+        n = self.obs_vit.num_output_tokens
+        if n_views > 1:
+            n += self.num_history_queries
+        return n
+
 
 def _mha_init(key, dim, heads, dtype=jnp.float32):
     ks = jax.random.split(key, 4)
@@ -127,7 +135,6 @@ def muvla_loss(params, cfg: MUVLAConfig, batch: dict, rng=None, remat: bool = Fa
     batch: input_ids (with fused-token placeholders), attention_mask, labels,
     map_images [B,H,W,3], obs_images [B,N,H,W,3], optional reward [B]."""
     tokens = fuse_obs_with_history(params, cfg, batch["map_images"], batch["obs_images"])
-    vlm_params = {"llm": params["llm"]}
     embeds = splice_image_embeds({"llm": params["llm"]}, cfg.vlm, batch["input_ids"], tokens)
     hidden, _ = vlm_forward(
         {"llm": params["llm"], "vit": params["vit"], "projector": params["projector"]},
@@ -165,3 +172,35 @@ def muvla_loss(params, cfg: MUVLAConfig, batch: dict, rng=None, remat: bool = Fa
         loss = loss + 0.5 * reward_loss
     metrics["loss"] = loss
     return loss, metrics
+
+
+def muvla_generate(
+    params,
+    cfg: MUVLAConfig,
+    input_ids: jnp.ndarray,  # int[B, S]; IMAGE_TOKEN_INDEX at fused slots
+    valid: jnp.ndarray,
+    map_images: jnp.ndarray,  # [B, H, W, 3]
+    obs_images: jnp.ndarray,  # [B, N_views, H, W, 3]
+    max_new_tokens: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    temperature: float = 0.0,
+    rng=None,
+):
+    """AR generation over the fused map+obs tokens: fuse -> splice -> shared
+    prefill+scan decode (the reference's custom prepare_inputs_for_generation
+    with Static/DynamicCache, muvla_arch.py:609-682).  input_ids must carry
+    cfg.num_fused_tokens(N_views) placeholders."""
+    from dexbotic_tpu.models.generate import generate
+
+    tokens = fuse_obs_with_history(params, cfg, map_images, obs_images)
+    embeds = splice_image_embeds({"llm": params["llm"]}, cfg.vlm, input_ids, tokens)
+    vlm_params = {
+        "llm": params["llm"], "vit": params["vit"], "projector": params["projector"]
+    }
+    return generate(
+        vlm_params, cfg.vlm, input_ids, valid, None,
+        max_new_tokens=max_new_tokens, eos_token_id=eos_token_id,
+        pad_token_id=pad_token_id, temperature=temperature, rng=rng,
+        inputs_embeds=embeds,
+    )
