@@ -112,68 +112,288 @@ def preprocess_images_batch(images, cfg: ImageProcessorConfig, use_native: bool 
 # ---------------------------------------------------------------------------
 
 
-def _adjust_brightness_contrast(img, rng, brightness=0.2, contrast=0.2, p=0.5):
-    if rng.random() < p:
-        alpha = 1.0 + rng.uniform(-contrast, contrast)
-        beta = rng.uniform(-brightness, brightness) * 255.0
-        img = np.clip(img.astype(np.float32) * alpha + beta, 0, 255).astype(np.uint8)
+# Individual transforms, parameter-faithful to the reference's
+# albumentations stacks (augmentations.py:135-233).  Each takes/returns
+# uint8 RGB HWC and draws from the policy rng.
+
+
+def _color_jitter(img, rng, brightness, contrast, saturation, hue):
+    """torchvision-semantics ColorJitter (what A.ColorJitter implements):
+    factors ~ U[max(0,1-x), 1+x], hue ~ U[-h, h], applied in random order."""
+    fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    fh = rng.uniform(-hue, hue)
+
+    def bri(x):
+        return np.clip(x.astype(np.float32) * fb, 0, 255)
+
+    def con(x):
+        xf = x.astype(np.float32)
+        gray_mean = (0.299 * xf[..., 0] + 0.587 * xf[..., 1] + 0.114 * xf[..., 2]).mean()
+        return np.clip(xf * fc + gray_mean * (1 - fc), 0, 255)
+
+    def sat(x):
+        xf = x.astype(np.float32)
+        gray = (0.299 * xf[..., 0] + 0.587 * xf[..., 1] + 0.114 * xf[..., 2])[..., None]
+        return np.clip(xf * fs + gray * (1 - fs), 0, 255)
+
+    def hue_fn(x):
+        if cv2 is None:
+            return x.astype(np.float32)
+        hsv = cv2.cvtColor(x.astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 0] = (hsv[..., 0] + fh * 180.0) % 180.0
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+
+    ops = [bri, con, sat, hue_fn]
+    for i in rng.permutation(4):
+        img = ops[i](img)
+    return img.astype(np.uint8)
+
+
+def _pad_to_square(img, fill=0):
+    """Centered constant pad to square (the reference's PadToSquare
+    DualTransform semantics, augmentations.py:24-133)."""
+    h, w = img.shape[:2]
+    size = max(h, w)
+    if h == w:
+        return img
+    top = (size - h) // 2
+    left = (size - w) // 2
+    out = np.full((size, size) + img.shape[2:], fill, img.dtype)
+    out[top : top + h, left : left + w] = img
+    return out
+
+
+def _random_resized_crop(img, rng, size, scale, ratio=(1.0, 1.0)):
+    """Area-based RandomResizedCrop at fixed ratio (torchvision sampling)."""
+    h, w = img.shape[:2]
+    area = h * w
+    s = rng.uniform(*scale)
+    r = rng.uniform(*ratio)
+    cw = int(round(np.sqrt(area * s * r)))
+    ch = int(round(np.sqrt(area * s / r)))
+    cw, ch = min(cw, w), min(ch, h)
+    top = int(rng.integers(0, h - ch + 1))
+    left = int(rng.integers(0, w - cw + 1))
+    crop = img[top : top + ch, left : left + cw]
+    return resize(crop, size, "bilinear")
+
+
+def _rotate(img, rng, limit=(-5, 5)):
+    if cv2 is None:
+        return img
+    angle = rng.uniform(*limit)
+    h, w = img.shape[:2]
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    return cv2.warpAffine(img, m, (w, h), borderMode=cv2.BORDER_REFLECT_101)
+
+
+def _coarse_dropout(img, rng, num_holes=(3, 6), hole_frac=(0.05, 0.2)):
+    """Random-uniform-filled holes (A.CoarseDropout fill='random_uniform')."""
+    img = img.copy()
+    h, w = img.shape[:2]
+    for _ in range(int(rng.integers(num_holes[0], num_holes[1] + 1))):
+        hh = max(1, int(h * rng.uniform(*hole_frac)))
+        ww = max(1, int(w * rng.uniform(*hole_frac)))
+        top = int(rng.integers(0, max(1, h - hh)))
+        left = int(rng.integers(0, max(1, w - ww)))
+        img[top : top + hh, left : left + ww] = rng.integers(
+            0, 256, (hh, ww) + img.shape[2:], dtype=np.uint8
+        )
     return img
 
 
-def _adjust_hue_sat(img, rng, hue=10, sat=0.2, p=0.3):
-    if cv2 is None or rng.random() >= p:
-        return img
-    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
-    hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue, hue)) % 180
-    hsv[..., 1] = np.clip(hsv[..., 1] * (1 + rng.uniform(-sat, sat)), 0, 255)
-    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+def _gauss_noise(img, rng, std_range=(0.1, 0.22)):
+    std = rng.uniform(*std_range) * 255.0
+    noisy = img.astype(np.float32) + rng.normal(0, std, img.shape)
+    return np.clip(noisy, 0, 255).astype(np.uint8)
 
 
-def _random_resized_crop(img, rng, scale=(0.9, 1.0), p=0.5):
-    if rng.random() >= p:
+def _additive_noise(img, rng, limit=0.1):
+    noisy = img.astype(np.float32) + rng.uniform(-limit * 255, limit * 255, img.shape)
+    return np.clip(noisy, 0, 255).astype(np.uint8)
+
+
+def _rgb_shift(img, rng, limit=20):
+    shift = rng.uniform(-limit, limit, (1, 1, 3))
+    return np.clip(img.astype(np.float32) + shift, 0, 255).astype(np.uint8)
+
+
+def _salt_and_pepper(img, rng, amount=(0.01, 0.06), salt_vs_pepper=(0.4, 0.6)):
+    img = img.copy()
+    a = rng.uniform(*amount)
+    svp = rng.uniform(*salt_vs_pepper)
+    mask = rng.random(img.shape[:2]) < a
+    salt = rng.random(img.shape[:2]) < svp
+    img[mask & salt] = 255
+    img[mask & ~salt] = 0
+    return img
+
+
+def _motion_blur(img, rng, ksizes=(3, 5, 7)):
+    if cv2 is None:
         return img
+    k = int(rng.choice(ksizes))
+    kernel = np.zeros((k, k), np.float32)
+    if rng.random() < 0.5:
+        kernel[k // 2, :] = 1.0
+    else:
+        kernel[:, k // 2] = 1.0
+    kernel /= kernel.sum()
+    return cv2.filter2D(img, -1, kernel)
+
+
+def _median_blur(img, rng, ksizes=(3, 5, 7)):
+    if cv2 is None:
+        return img
+    return cv2.medianBlur(img, int(rng.choice(ksizes)))
+
+
+def _gaussian_blur(img, rng, ksizes=(3, 5, 7)):
+    if cv2 is None:
+        return img
+    k = int(rng.choice(ksizes))
+    return cv2.GaussianBlur(img, (k, k), 0)
+
+
+def _sharpen(img, rng, alpha=(0.2, 0.5), lightness=(0.5, 1.0)):
+    if cv2 is None:
+        return img
+    a = rng.uniform(*alpha)
+    l = rng.uniform(*lightness)
+    kernel = np.array([[-1, -1, -1], [-1, 8 + l, -1], [-1, -1, -1]], np.float32)
+    sharp = cv2.filter2D(img, -1, kernel / kernel.sum())
+    out = (1 - a) * img.astype(np.float32) + a * sharp.astype(np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _random_gamma(img, rng, gamma=(0.8, 1.2)):
+    g = rng.uniform(*gamma)
+    out = ((img.astype(np.float32) / 255.0) ** g) * 255.0
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _iso_noise(img, rng, color_shift=(0.01, 0.05), intensity=(0.1, 0.5)):
+    inten = rng.uniform(*intensity)
+    cshift = rng.uniform(*color_shift)
+    lum_noise = rng.normal(0, inten * 30.0, img.shape[:2])[..., None]
+    col_noise = rng.normal(0, cshift * 255.0, img.shape)
+    out = img.astype(np.float32) + lum_noise + col_noise
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _illumination(img, rng, limit=0.2):
+    """Linear brightness gradient across a random direction."""
     h, w = img.shape[:2]
-    s = rng.uniform(*scale)
-    ch, cw = int(h * s), int(w * s)
-    top = rng.integers(0, h - ch + 1)
-    left = rng.integers(0, w - cw + 1)
-    crop = img[top : top + ch, left : left + cw]
-    return resize(crop, h, "bilinear") if h == w else crop
+    strength = rng.uniform(-limit, limit)
+    if rng.random() < 0.5:
+        field = np.linspace(-1, 1, w)[None, :, None]
+    else:
+        field = np.linspace(-1, 1, h)[:, None, None]
+    out = img.astype(np.float32) * (1.0 + strength * field)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _shot_noise(img, rng, scale_range=(0.02, 0.1)):
+    s = rng.uniform(*scale_range)
+    lam = img.astype(np.float32) / 255.0 / max(s, 1e-6)
+    noisy = rng.poisson(np.maximum(lam, 0)) * s * 255.0
+    return np.clip(noisy, 0, 255).astype(np.uint8)
 
 
 class PixelAug:
-    """Named augmentation policies; 'identity'/None is a no-op.
+    """Named augmentation policies, parameter-faithful to the reference's
+    albumentations stacks (augmentations.py:135-233):
 
-    Policies mirror the intent of the reference set
-    (v1/v2/v3/pi0/dm0/color/color_dm0/identity, augmentations.py:24-233):
-    color policies jitter brightness/contrast/hue/sat; pi0/dm0 add a mild
-    random resized crop.
+      v1        CoarseDropout(3-6 random-uniform holes, 5-20%, p)
+      v2        SomeOf(n=2) over [OneOf(noise, p=.2), OneOf(blur, p=.8),
+                SomeOf([gamma, iso, illumination, shot], n=2), CoarseDropout]
+      v3        RandomResizedCrop(384, scale .95-1, p) + ColorJitter(.3/.4/.5/.08, p)
+      pi0       PadToSquare + RRC(224, scale .95) + Rotate(±5°) + CJ(.3/.4/.5/.1, p)
+      dm0       PadToSquare + RRC(728, scale .95) + Rotate(±5°) + CJ(.3/.4/.5/.1, p)
+      color     PadToSquare + CJ(.3/.4/.5/.1, p)
+      color_dm0 PadToSquare + Resize(728) + CJ(.3/.4/.5/.1, p)
+      identity  no-op
     """
 
     POLICIES = ("v1", "v2", "v3", "pi0", "dm0", "color", "color_dm0", "identity")
 
-    def __init__(self, policy: str = "identity", seed: int | None = None):
+    def __init__(self, policy: str = "identity", seed: int | None = None, p: float = 0.5):
         if policy not in self.POLICIES:
             raise ValueError(f"unknown aug policy {policy}")
         self.policy = policy
+        self.p = p
         self.rng = np.random.default_rng(seed)
+
+    # -- v2 building blocks -------------------------------------------------
+
+    def _one_of(self, img, rng, members, gate_p):
+        """A.OneOf: with prob gate_p pick one member (weighted by member p)
+        and apply it unconditionally."""
+        if rng.random() >= gate_p:
+            return img
+        ps = np.asarray([m[1] for m in members], np.float64)
+        i = int(rng.choice(len(members), p=ps / ps.sum()))
+        return members[i][0](img, rng)
+
+    def _some_of(self, img, rng, members, n):
+        """A.SomeOf: sample n distinct members (weighted by p), apply each."""
+        ps = np.asarray([m[1] for m in members], np.float64)
+        idx = rng.choice(len(members), size=min(n, len(members)), replace=False,
+                         p=ps / ps.sum())
+        for i in idx:
+            img = members[int(i)][0](img, rng)
+        return img
 
     def __call__(self, image) -> np.ndarray:
         img = to_numpy_image(image)
         if self.policy == "identity":
             return img
-        rng = self.rng
-        if self.policy in ("color", "color_dm0"):
-            img = _adjust_brightness_contrast(img, rng)
-            img = _adjust_hue_sat(img, rng)
-        elif self.policy in ("v1", "v2", "v3"):
-            img = _adjust_brightness_contrast(img, rng, p=0.5)
-            if self.policy in ("v2", "v3"):
-                img = _adjust_hue_sat(img, rng)
-        elif self.policy in ("pi0", "dm0"):
-            img = _random_resized_crop(img, rng)
-            img = _adjust_brightness_contrast(img, rng, brightness=0.1, contrast=0.1)
-        return img
+        rng, p = self.rng, self.p
+
+        if self.policy == "v1":
+            if rng.random() < p:
+                img = _coarse_dropout(img, rng)
+            return img
+
+        if self.policy == "v2":
+            noise = [(_additive_noise, p), (_rgb_shift, p), (_gauss_noise, p),
+                     (_salt_and_pepper, p)]
+            blur = [(_motion_blur, p), (_median_blur, p), (_gaussian_blur, p),
+                    (_sharpen, p)]
+            photo = [(_random_gamma, p), (_iso_noise, 0.1), (_illumination, p),
+                     (_shot_noise, p)]
+            stages = [
+                (lambda x, r: self._one_of(x, r, noise, 0.2), 1.0),
+                (lambda x, r: self._one_of(x, r, blur, 0.8), 1.0),
+                (lambda x, r: self._some_of(x, r, photo, 2), 1.0),
+                (lambda x, r: _coarse_dropout(x, r) if r.random() < p else x, 1.0),
+            ]
+            return self._some_of(img, rng, stages, 2)
+
+        if self.policy == "v3":
+            if rng.random() < p:
+                img = _random_resized_crop(img, rng, 384, (0.95, 1.0))
+            if rng.random() < p:
+                img = _color_jitter(img, rng, 0.3, 0.4, 0.5, 0.08)
+            return img
+
+        if self.policy in ("pi0", "dm0", "color", "color_dm0"):
+            img = _pad_to_square(img, fill=0)
+            if self.policy == "pi0":
+                img = _random_resized_crop(img, rng, 224, (0.95, 0.95))
+                img = _rotate(img, rng)
+            elif self.policy == "dm0":
+                img = _random_resized_crop(img, rng, 728, (0.95, 0.95))
+                img = _rotate(img, rng)
+            elif self.policy == "color_dm0":
+                img = resize(img, 728, "bilinear")
+            if rng.random() < p:
+                img = _color_jitter(img, rng, 0.3, 0.4, 0.5, 0.1)
+            return img
+
+        raise AssertionError(self.policy)
 
 
 class PreprocessRGB:

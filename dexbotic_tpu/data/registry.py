@@ -61,8 +61,19 @@ register_dataset(
     prefix="maniskill2",
     meta_data={"non_delta_mask": [6], "periodic_mask": None, "periodic_range": None},
 )
+# per-task maniskill names as the reference registers them
+# (maniskill2_official.py:5-40: PickCube/StackCube/PickSingleYCB/
+# PickSingleEGAD/PickClutterYCB under prefix 'maniskill')
 register_dataset(
-    _suite("simpler", ["bridge", "fractal"]),
+    _suite(
+        "maniskill",
+        ["pickcube", "stackcube", "picksingleycb", "picksingleegad", "pickclutterycb"],
+    ),
+    prefix="maniskill",
+    meta_data={"non_delta_mask": [6], "periodic_mask": None, "periodic_range": None},
+)
+register_dataset(
+    _suite("simpler", ["bridge", "fractal", "all"]),
     prefix="simpler",
     meta_data={"non_delta_mask": [6], "periodic_mask": None, "periodic_range": None},
 )

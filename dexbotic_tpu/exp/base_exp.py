@@ -302,19 +302,34 @@ class BaseExp:
 
     # ---- norm stats ------------------------------------------------------
 
-    def _auto_compute_norm_stats(self):
-        """Compute (or reuse cached) norm stats keyed by dataset_name md5
-        (base_exp.py:837-855)."""
+    def _auto_compute_norm_stats(self, poll_timeout_s: float = 1800.0):
+        """Compute (or reuse cached) norm stats keyed by dataset_name md5.
+
+        Multi-host: only the primary process computes and writes; the others
+        poll for the finished file (reference rank0-computes-others-poll,
+        base_exp.py:837-855) so concurrent writes to the shared cache can't
+        race."""
         if self.action.statistic_mapping and os.path.exists(self.action.statistic_mapping):
             return
         key = hashlib.md5(self.data.dataset_name.encode()).hexdigest()[:16]
         cache_dir = os.path.join("norm_assets", f"auto-{key}")
         out = os.path.join(cache_dir, "norm_stats.json")
         if not os.path.exists(out):
-            cfg = ComputeNormActionConfig(
-                delta=self.action.delta, norm_save_path=cache_dir
-            )
-            cfg.compute_norm_stats(self.data.dataset_name)
+            from dexbotic_tpu.parallel import multihost
+
+            if multihost.is_primary():
+                cfg = ComputeNormActionConfig(
+                    delta=self.action.delta, norm_save_path=cache_dir
+                )
+                cfg.compute_norm_stats(self.data.dataset_name)
+            else:
+                t0 = time.time()
+                while not os.path.exists(out):
+                    if time.time() - t0 > poll_timeout_s:
+                        raise TimeoutError(
+                            f"norm stats {out} not produced by primary"
+                        )
+                    time.sleep(2.0)
         self.action.statistic_mapping = out
 
     # ---- tasks -----------------------------------------------------------

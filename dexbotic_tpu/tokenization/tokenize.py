@@ -259,29 +259,82 @@ class Pi0Tokenization:
 
 
 class DM0Tokenization:
-    """DM0 'step'-template SFT format, fixed-length padded
-    (reference: tokenization/process.py:130-245, simplified to the
-    input_ids/labels surface)."""
+    """DM0 'step'-template SFT format with the full mask surface
+    (reference: tokenization/process.py:130-245): per-turn construction of
+    input_ids + token_mask (real vs pad) + ar_mask (causal bits feeding
+    DM0's prefix attention) + loss_mask (assistant content+separator only),
+    fixed-length padded; labels = input_ids where loss_mask else IGNORE."""
 
     def __init__(self, tokenizer, max_len: int = 100, chat_template: str = "step"):
         self.tokenizer = tokenizer
         self._max_len = max_len
         self.chat_template = chat_template
 
+    def _encode(self, text: str) -> list:
+        if hasattr(self.tokenizer, "encode"):
+            try:  # HF tokenizers take add_special_tokens
+                return list(self.tokenizer.encode(text, add_special_tokens=False))
+            except TypeError:
+                return list(self.tokenizer.encode(text, add_bos=False))
+        return list(self.tokenizer(text).input_ids)
+
     def __call__(self, conversations, has_image: bool = True) -> dict:
         if conversations and isinstance(conversations[0], list):
             conversations = conversations[0]
-        prompt = conversations[0]["value"]
         conv = conversation_lib.conv_templates[self.chat_template].copy()
-        conv.append_message(conv.roles[0], prompt.strip())
-        conv.append_message(conv.roles[1], None)
-        text = conv.get_prompt()
-        tokens = self.tokenizer.encode(text) if hasattr(self.tokenizer, "encode") else self.tokenizer(text).input_ids
-        tokens = tokens[: self._max_len]
+        roles = {"human": conv.roles[0], "gpt": conv.roles[1]}
+        seps = {conv.roles[0]: conv.sep, conv.roles[1]: conv.sep2}
+
+        tokens = self._encode(f"{conv.system}{conv.sep}")
+        token_mask = [True] * len(tokens)
+        ar_mask = [1] * len(tokens)
+        loss_mask = [False] * len(tokens)
+
+        convs = list(conversations)
+        # drop an empty trailing assistant turn (OpenPI alignment)
+        if convs and convs[-1].get("from") == "gpt" and not convs[-1].get("value"):
+            convs.pop()
+
+        for msg in convs:
+            role_key = msg.get("from", "human")
+            if role_key not in roles:
+                continue
+            role = roles[role_key]
+            text = (msg.get("value") or "").strip().replace("\n", " ")
+            role_tokens = self._encode(f"{role}: ")
+            tokens += role_tokens
+            token_mask += [True] * len(role_tokens)
+            ar_mask += [1] * len(role_tokens)
+            loss_mask += [False] * len(role_tokens)
+
+            content = f"{text}{seps[role]}" if text else ""
+            content_tokens = self._encode(content)
+            tokens += content_tokens
+            token_mask += [True] * len(content_tokens)
+            ar_mask += [1] * len(content_tokens)
+            loss_mask += [role == roles["gpt"]] * len(content_tokens)
+
         pad_id = getattr(self.tokenizer, "pad_token_id", 0) or 0
         n = len(tokens)
-        tokens = tokens + [pad_id] * (self._max_len - n)
-        arr = np.asarray(tokens, np.int64)
-        labels = arr.copy()
-        labels[n:] = IGNORE_INDEX
-        return {"input_ids": arr, "labels": labels}
+        if n < self._max_len:
+            pad = self._max_len - n
+            tokens += [pad_id] * pad
+            token_mask += [False] * pad
+            ar_mask += [0] * pad
+            loss_mask += [False] * pad
+        else:
+            tokens = tokens[: self._max_len]
+            token_mask = token_mask[: self._max_len]
+            ar_mask = ar_mask[: self._max_len]
+            loss_mask = loss_mask[: self._max_len]
+
+        input_ids = np.asarray(tokens, np.int64)
+        loss_arr = np.asarray(loss_mask)
+        labels = np.where(loss_arr, input_ids, IGNORE_INDEX)
+        return {
+            "input_ids": input_ids,
+            "labels": labels,
+            "token_mask": np.asarray(token_mask),
+            "ar_mask": np.asarray(ar_mask, np.int64),
+            "loss_mask": loss_arr,
+        }

@@ -338,3 +338,73 @@ def test_fast_image_native_kernel():
     assert sq.shape == (128, 128, 3)
     assert sq[0, 0].tolist() == [9, 8, 7]
     np.testing.assert_array_equal(sq[16:112], imgs[0])
+
+
+def test_dm0_tokenization_mask_surface():
+    """DM0Tokenization emits the reference's full mask set
+    (tokenization/process.py:130-245): token/ar/loss masks + labels derived
+    from loss_mask, loss only on assistant content."""
+    from dexbotic_tpu.constants import IGNORE_INDEX
+    from dexbotic_tpu.tokenization.tokenize import DM0Tokenization, SimpleTokenizer
+
+    tok = SimpleTokenizer(model_max_length=256)
+    t = DM0Tokenization(tok, max_len=320)
+    out = t([
+        {"from": "human", "value": "pick up the cup"},
+        {"from": "gpt", "value": "1 2 3"},
+    ])
+    assert set(out) == {"input_ids", "labels", "token_mask", "ar_mask", "loss_mask"}
+    assert out["input_ids"].shape == (320,)
+    n_real = int(out["token_mask"].sum())
+    assert 0 < n_real < 320
+    # ar causal bits: 1 on real tokens, 0 on padding
+    np.testing.assert_array_equal(out["ar_mask"][:n_real], 1)
+    np.testing.assert_array_equal(out["ar_mask"][n_real:], 0)
+    # loss only on assistant content; labels = ids there, IGNORE elsewhere
+    lm = out["loss_mask"]
+    assert 0 < lm.sum() < n_real
+    np.testing.assert_array_equal(out["labels"][lm], out["input_ids"][lm])
+    assert (out["labels"][~lm] == IGNORE_INDEX).all()
+    # the human turn carries no loss: first loss index comes after the
+    # system+human spans (ASSISTANT role appears before any loss token)
+    first_loss = int(np.argmax(lm))
+    assert first_loss > 4
+
+    # empty trailing assistant turn is dropped -> zero loss tokens
+    out2 = t([
+        {"from": "human", "value": "pick up the cup"},
+        {"from": "gpt", "value": ""},
+    ])
+    assert out2["loss_mask"].sum() == 0
+
+
+def test_pixel_aug_policies_parameter_faithful():
+    """Aug policies mirror the reference stacks (augmentations.py:135-233):
+    output geometry per policy, uint8 dtype, seeded determinism."""
+    from dexbotic_tpu.data.image_processing import PixelAug, _pad_to_square
+
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+
+    expect_shape = {
+        "v1": (48, 64, 3), "v2": (48, 64, 3), "v3": (48, 64, 3),
+        "pi0": (224, 224, 3), "dm0": (728, 728, 3),
+        "color": (64, 64, 3), "color_dm0": (728, 728, 3),
+        "identity": (48, 64, 3),
+    }
+    for pol, shape in expect_shape.items():
+        out = PixelAug(pol, seed=1)(img)
+        assert out.shape == shape and out.dtype == np.uint8, pol
+        out2 = PixelAug(pol, seed=1)(img)
+        np.testing.assert_array_equal(out, out2)  # seeded determinism
+
+    # v1 = CoarseDropout only: 3-6 holes of 5-20% -> most pixels untouched
+    out = PixelAug("v1", seed=3, p=1.0)(img)
+    frac_changed = float((out != img).any(-1).mean())
+    assert 0.0 < frac_changed < 0.5
+
+    # PadToSquare centers with constant fill
+    padded = _pad_to_square(img, fill=0)
+    assert padded.shape == (64, 64, 3)
+    assert (padded[:8] == 0).all() and (padded[-8:] == 0).all()
+    np.testing.assert_array_equal(padded[8:56], img)
