@@ -42,7 +42,13 @@ class Collator:
             lab = np.asarray(inst["labels"])[:L]
             input_ids[i, : len(ids)] = ids
             labels[i, : len(lab)] = lab
-            attention_mask[i, : len(ids)] = True
+            if "token_mask" in inst:
+                # fixed-length tokenizations (Pi0/DM0) arrive pre-padded;
+                # their token_mask marks the REAL tokens (process.py:130-245)
+                tm = np.asarray(inst["token_mask"])[:L]
+                attention_mask[i, : len(tm)] = tm.astype(bool)
+            else:
+                attention_mask[i, : len(ids)] = True
 
         batch = {
             "input_ids": input_ids,

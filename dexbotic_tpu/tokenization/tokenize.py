@@ -253,9 +253,11 @@ class Pi0Tokenization:
             nl = self.tokenizer.encode("\n")
             tokens = tokens + (nl[1:] if nl and nl[0] == getattr(self.tokenizer, "bos_token_id", None) else nl)
         tokens = tokens[: self._max_len]
-        tokens = tokens + [0] * (self._max_len - len(tokens))
+        n = len(tokens)
+        tokens = tokens + [0] * (self._max_len - n)
         arr = np.asarray(tokens, np.int64)
-        return {"input_ids": arr, "labels": arr.copy()}
+        token_mask = np.arange(self._max_len) < n
+        return {"input_ids": arr, "labels": arr.copy(), "token_mask": token_mask}
 
 
 class DM0Tokenization:
