@@ -2,8 +2,9 @@
 
 Builds csrc/fast_image.cpp on first use (g++, cached next to the source);
 falls back cleanly when no compiler is available — callers should use
-`preprocess_batch_fast` which mirrors `preprocess_image` semantics for
-batches of identically-sized uint8 frames.
+`preprocess_batch_fast` / `pad_preprocess_batch_fast`, which mirror
+`preprocess_image` / expand2square->processor semantics for batches of
+identically-sized uint8 frames (bilinear or cv2-parity bicubic).
 """
 
 from __future__ import annotations
@@ -18,6 +19,8 @@ import numpy as np
 _LIB = None
 _LOCK = threading.Lock()
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "csrc")
+
+INTERP = {"bilinear": 0, "bicubic": 1}
 
 
 def _build_and_load():
@@ -36,16 +39,20 @@ def _build_and_load():
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(so)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
         lib.preprocess_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pad_preprocess_batch.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, u8p, ctypes.c_int, ctypes.c_int,
         ]
         lib.expand2square_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
+            u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, u8p,
         ]
         _LIB = lib
         return lib
@@ -65,8 +72,9 @@ def preprocess_batch_fast(
     mean=(0.5, 0.5, 0.5),
     std=(0.5, 0.5, 0.5),
     num_threads: int = 8,
+    interp: str = "bilinear",
 ) -> np.ndarray:
-    """Fused bilinear resize + rescale + normalize -> float32 [B, size, size, 3]."""
+    """Fused resize + rescale + normalize -> float32 [B, size, size, 3]."""
     lib = _build_and_load()
     images = np.ascontiguousarray(images, dtype=np.uint8)
     b, h, w, c = images.shape
@@ -81,7 +89,42 @@ def preprocess_batch_fast(
         size, size,
         mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        num_threads,
+        num_threads, INTERP[interp],
+    )
+    return out
+
+
+def pad_preprocess_batch_fast(
+    images: np.ndarray,  # uint8 [B, H, W, 3]
+    size: int,
+    mean=(0.5, 0.5, 0.5),
+    std=(0.5, 0.5, 0.5),
+    fill=(0, 0, 0),
+    num_threads: int = 8,
+    interp: str = "bilinear",
+) -> np.ndarray:
+    """Fused centered pad-to-square + resize + rescale + normalize.
+
+    One pass over the output — no intermediate padded uint8 frame.  Matches
+    expand2square(fill) -> preprocess_image (the CogACT serving image path,
+    reference dexbotic_arch.py:516-529)."""
+    lib = _build_and_load()
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    b, h, w, c = images.shape
+    assert c == 3
+    out = np.empty((b, size, size, 3), np.float32)
+    mean_a = np.asarray(mean, np.float32)
+    std_a = np.asarray(std, np.float32)
+    fill_a = np.asarray(fill, np.uint8)
+    lib.pad_preprocess_batch(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b, h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        size, size,
+        mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        fill_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads, INTERP[interp],
     )
     return out
 

@@ -44,7 +44,7 @@ class ImageProcessorConfig:
         return cls(size=size, mean=SIGLIP_MEAN, std=SIGLIP_STD)
 
 
-_CV2_INTERP = {"bicubic": 3, "bilinear": 1, "nearest": 0}  # cv2.INTER_*
+_CV2_INTERP = {"bicubic": 2, "bilinear": 1, "nearest": 0}  # cv2.INTER_CUBIC/LINEAR/NEAREST
 
 
 def to_numpy_image(image) -> np.ndarray:
@@ -81,29 +81,70 @@ def resize(image: np.ndarray, size: int, resample: str = "bicubic") -> np.ndarra
     return image[ys][:, xs]
 
 
+_PIL_INTERP = {"bicubic": 3, "bilinear": 2, "nearest": 0}  # PIL.Image.Resampling
+
+
+def resize_pil(image: np.ndarray, size: int, resample: str) -> np.ndarray:
+    """PIL filter-based resample — the reference's HF image-processor
+    semantics (proper antialiased downscale; NOT cv2's fixed-tap interp)."""
+    try:
+        from PIL import Image
+    except ImportError:  # pragma: no cover
+        return resize(image, size, resample)
+    if image.shape[0] == size and image.shape[1] == size:
+        return image
+    return np.asarray(
+        Image.fromarray(image).resize((size, size), _PIL_INTERP[resample])
+    )
+
+
 def preprocess_image(image, cfg: ImageProcessorConfig) -> np.ndarray:
-    """uint8 HWC -> normalized float32 HWC at cfg.size."""
+    """uint8 HWC -> normalized float32 HWC at cfg.size (HF processor parity:
+    PIL resample, then rescale + normalize)."""
     arr = to_numpy_image(image)
-    arr = resize(arr, cfg.size, cfg.resample)
+    if arr.dtype == np.uint8 and cfg.resample in _PIL_INTERP:
+        arr = resize_pil(arr, cfg.size, cfg.resample)
+    else:
+        arr = resize(arr, cfg.size, cfg.resample)
     arr = arr.astype(np.float32) * cfg.rescale
     return (arr - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
 
 
-def preprocess_images_batch(images, cfg: ImageProcessorConfig, use_native: bool = True) -> np.ndarray:
+def preprocess_images_batch(
+    images, cfg: ImageProcessorConfig, use_native: bool = True,
+    pad_fill: tuple | None = None,
+) -> np.ndarray:
     """Batch of identically-sized uint8 frames -> [B, size, size, 3] float32.
 
-    Uses the fused C++ kernel (csrc/fast_image.cpp) when available and the
-    frames share a shape; falls back to the per-image path."""
+    Uses the fused C++ kernel (csrc/fast_image.cpp, cv2-parity bilinear or
+    bicubic) when available and the frames share a shape; falls back to the
+    per-image cv2 path.  With pad_fill set, fuses a centered pad-to-square
+    (expand2square semantics) into the same pass — the serving image path."""
     arrs = [to_numpy_image(im) for im in images]
-    if use_native and len({a.shape for a in arrs}) == 1 and arrs[0].dtype == np.uint8:
+    native_ok = (
+        use_native
+        and len({a.shape for a in arrs}) == 1
+        and arrs[0].dtype == np.uint8
+        and cfg.resample in ("bilinear", "bicubic")
+        and abs(cfg.rescale - 1.0 / 255.0) < 1e-12
+    )
+    if native_ok:
         try:
-            from dexbotic_tpu.data.fast_image import preprocess_batch_fast
+            from dexbotic_tpu.data import fast_image
 
-            return preprocess_batch_fast(
-                np.stack(arrs), cfg.size, mean=cfg.mean, std=cfg.std
+            if pad_fill is not None:
+                return fast_image.pad_preprocess_batch_fast(
+                    np.stack(arrs), cfg.size, mean=cfg.mean, std=cfg.std,
+                    fill=pad_fill, interp=cfg.resample,
+                )
+            return fast_image.preprocess_batch_fast(
+                np.stack(arrs), cfg.size, mean=cfg.mean, std=cfg.std,
+                interp=cfg.resample,
             )
         except Exception:  # noqa: BLE001 (no toolchain)
             pass
+    if pad_fill is not None:
+        arrs = [expand2square(a, pad_fill) for a in arrs]
     return np.stack([preprocess_image(a, cfg) for a in arrs])
 
 
@@ -415,14 +456,18 @@ class PreprocessRGB:
         if image is None:
             return np.zeros((self.processor.size, self.processor.size, 3), np.float32)
         img = to_numpy_image(image)
+        fill = None
         if self.image_aspect_ratio == "pad":
             if self.image_pad_mode == "zero":
                 fill = (0, 0, 0)
             else:
                 fill = tuple(int(x * 255) for x in self.processor.mean)
+        if self.augmentations is None:
+            # eval/serving fast path: fused native pad+resize+normalize
+            return preprocess_images_batch([img], self.processor, pad_fill=fill)[0]
+        if fill is not None:
             img = expand2square(img, fill)
-        if self.augmentations is not None:
-            img = self.augmentations(img)
+        img = self.augmentations(img)
         return preprocess_image(img, self.processor)
 
 

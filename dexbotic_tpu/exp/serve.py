@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from dexbotic_tpu.data.image_processing import expand2square, preprocess_image, to_numpy_image
+from dexbotic_tpu.data.image_processing import preprocess_images_batch, to_numpy_image
 from dexbotic_tpu.models.cogact import denorm_actions
 from dexbotic_tpu.tokenization import conversation as conversation_lib
 from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
@@ -67,14 +67,23 @@ def _cogact_prompt_ids(exp, cfg, tokenizer, prompt: str) -> list:
     )
 
 
-def _cogact_image(payload, proc):
-    arr = to_numpy_image(
-        payload
-        if isinstance(payload, (np.ndarray, Image.Image))
-        else Image.open(io.BytesIO(payload))
-    )
-    arr = expand2square(arr, tuple(int(x * 255) for x in proc.mean))
-    return preprocess_image(arr, proc)
+def _decode_frames(payloads) -> list:
+    """Raw multipart payloads / arrays / PIL images -> uint8 HWC arrays."""
+    return [
+        to_numpy_image(
+            p
+            if isinstance(p, (np.ndarray, Image.Image))
+            else Image.open(io.BytesIO(p))
+        )
+        for p in payloads
+    ]
+
+
+def _cogact_images(payloads, proc) -> np.ndarray:
+    """Decode -> fused pad-to-square + processor, batched over all frames
+    (native C++ kernel when frames share a shape; cv2 fallback)."""
+    fill = tuple(int(x * 255) for x in proc.mean)
+    return preprocess_images_batch(_decode_frames(payloads), proc, pad_fill=fill)
 
 
 def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
@@ -84,7 +93,7 @@ def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
     input_ids = jnp.asarray(ids, jnp.int32)[None]
     valid = jnp.ones(input_ids.shape, jnp.int32)
     proc = exp.data.build_image_processor()
-    imgs = jnp.asarray(np.stack([_cogact_image(im, proc) for im in images]))[None]
+    imgs = jnp.asarray(_cogact_images(images, proc))[None]
     return input_ids, valid, imgs
 
 
@@ -202,17 +211,8 @@ class CogActServer(ActionServer):
             valid_np[b, : len(r)] = 1
 
         proc = self.exp.data.build_image_processor()
-        imgs_np = np.stack(
-            [
-                np.stack(
-                    [
-                        _cogact_image(p, proc)
-                        for p in payloads[b * per : (b + 1) * per]
-                    ]
-                )
-                for b in range(B)
-            ]
-        )
+        flat = _cogact_images(payloads, proc)  # [B*per, size, size, 3]
+        imgs_np = flat.reshape(B, per, *flat.shape[1:])
         self.rng, r = jax.random.split(self.rng)
         out = np.asarray(
             jax.device_get(
@@ -246,16 +246,8 @@ class MUVLAServer(ActionServer):
         payloads = [p for _, p in files]
         assert len(payloads) >= 2, "MUVLA needs a map view + >=1 obs view"
         proc = self.exp.data.build_image_processor()
-
-        def decode(p):
-            arr = to_numpy_image(
-                p if isinstance(p, (np.ndarray, Image.Image))
-                else Image.open(io.BytesIO(p))
-            )
-            return preprocess_image(arr, proc)
-
-        map_img = jnp.asarray(decode(payloads[0]))[None]
-        obs = jnp.asarray(np.stack([decode(p) for p in payloads[1:]]))[None]
+        map_img = jnp.asarray(preprocess_images_batch(_decode_frames(payloads[:1]), proc))
+        obs = jnp.asarray(preprocess_images_batch(_decode_frames(payloads[1:]), proc))[None]
         n_views = obs.shape[1]
 
         nt = self.cfg.num_fused_tokens(n_views)
@@ -304,12 +296,11 @@ class FlowVLAServer(ActionServer):
         per = len(payloads) // B
         images_np = np.zeros((B, self.num_images, proc.size, proc.size, 3), np.float32)
         masks_np = np.zeros((B, self.num_images), np.int32)
+        keep = min(per, self.num_images)
+        flat = preprocess_images_batch(_decode_frames(payloads), proc)
         for b in range(B):
-            group = payloads[b * per : (b + 1) * per]
-            for i in range(min(per, self.num_images)):
-                arr = to_numpy_image(Image.open(io.BytesIO(group[i])))
-                images_np[b, i] = preprocess_image(arr, proc)
-                masks_np[b, i] = 1
+            images_np[b, :keep] = flat[b * per : b * per + keep]
+            masks_np[b, :keep] = 1
         images = jnp.asarray(images_np)
         image_masks = jnp.asarray(masks_np)
 

@@ -311,8 +311,11 @@ def test_dexdataset_end_to_end(dexdata_root):
 
 
 def test_fast_image_native_kernel():
-    """Native C++ preprocessing matches the cv2/numpy reference path."""
-    pytest.importorskip("cv2")
+    """Native C++ preprocessing matches PIL resample + normalize — the
+    reference's HF image-processor semantics (transformers CLIP/SigLIP
+    processors resize via PIL)."""
+    from PIL import Image
+
     from dexbotic_tpu.data.fast_image import (
         available,
         expand2square_fast,
@@ -321,23 +324,65 @@ def test_fast_image_native_kernel():
 
     if not available():
         pytest.skip("no C++ toolchain")
-    import cv2
 
     rs = np.random.RandomState(0)
+    pil_interp = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC}
+    for h, w, size in ((96, 128, 64), (60, 100, 48), (224, 224, 384)):
+        imgs = rs.randint(0, 255, (4, h, w, 3), np.uint8)
+        for interp in ("bilinear", "bicubic"):
+            out = preprocess_batch_fast(imgs, size, mean=(0.5, 0.5, 0.5),
+                                        std=(0.5, 0.5, 0.5), interp=interp)
+            assert out.shape == (4, size, size, 3) and out.dtype == np.float32
+            ref = np.stack([
+                (np.asarray(Image.fromarray(im).resize((size, size),
+                                                       pil_interp[interp]))
+                 .astype(np.float32) / 255.0 - 0.5) / 0.5
+                for im in imgs
+            ])
+            # <=2 uint8 quanta of slack (PIL's fixed-point coefficients)
+            assert np.abs(out - ref).max() < 0.02, (interp, h, w, size)
     imgs = rs.randint(0, 255, (4, 96, 128, 3), np.uint8)
-    out = preprocess_batch_fast(imgs, 64, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
-    assert out.shape == (4, 64, 64, 3) and out.dtype == np.float32
-    ref = np.stack([
-        (cv2.resize(im, (64, 64), interpolation=cv2.INTER_LINEAR).astype(np.float32)
-         / 255.0 - 0.5) / 0.5
-        for im in imgs
-    ])
-    assert np.abs(out - ref).max() < 0.02
 
     sq = expand2square_fast(imgs[0], fill=(9, 8, 7))
     assert sq.shape == (128, 128, 3)
     assert sq[0, 0].tolist() == [9, 8, 7]
     np.testing.assert_array_equal(sq[16:112], imgs[0])
+
+
+def test_fast_image_fused_pad():
+    """Fused pad-to-square+preprocess matches expand2square -> per-image path,
+    through the preprocess_images_batch dispatch used by the servers."""
+    pytest.importorskip("cv2")
+    from dexbotic_tpu.data.fast_image import available
+    from dexbotic_tpu.data.image_processing import (
+        ImageProcessorConfig,
+        expand2square,
+        preprocess_image,
+        preprocess_images_batch,
+    )
+
+    if not available():
+        pytest.skip("no C++ toolchain")
+    rs = np.random.RandomState(1)
+    imgs = rs.randint(0, 255, (3, 60, 100, 3), np.uint8)
+    cfg = ImageProcessorConfig(size=48, resample="bicubic")
+    fill = (10, 20, 30)
+    out = preprocess_images_batch(list(imgs), cfg, pad_fill=fill)
+    ref = preprocess_images_batch(
+        [expand2square(im, fill) for im in imgs], cfg, use_native=False
+    )
+    assert out.shape == ref.shape == (3, 48, 48, 3)
+    assert np.abs(out - ref).max() < 0.05
+
+    # non-pad dispatch: native vs cv2 fallback agree
+    out2 = preprocess_images_batch(list(imgs), cfg)
+    ref2 = preprocess_images_batch(list(imgs), cfg, use_native=False)
+    assert np.abs(out2 - ref2).max() < 0.05
+
+    # mixed shapes fall back cleanly
+    mixed = [imgs[0], imgs[1][:50]]
+    out3 = preprocess_images_batch(mixed, cfg, pad_fill=fill)
+    assert out3.shape == (2, 48, 48, 3)
 
 
 def test_dm0_tokenization_mask_surface():
