@@ -51,10 +51,19 @@ class RLEnvConfig(base_exp.Config):
 
 @dataclass
 class RLDataLoaderConfig(base_exp.Config):
-    """BufferedRLDataLoader surface: env configs interleaved n_samples times
-    (data/dataset/dex_rl_dataset.py:65-419)."""
+    """BufferedRLDataLoader surface (reference dex_rl_dataset.py:65-419).
 
-    n_samples: int = 8  # rollouts per prompt group
+    schedule='random' draws tasks uniformly each step; schedule='epoch'
+    enumerates every (task, trial) config of the suite per epoch through
+    data/dex_rl_dataset.py's BufferedRLDataLoader (per-epoch seeded shuffle,
+    per-process disjoint slices, env_dup interleaving) — the reference's
+    sampling contract."""
+
+    n_samples: int = 8  # rollouts per prompt group (GRPO)
+    schedule: str = "random"  # 'random' | 'epoch'
+    num_trials_per_task: int = 50
+    env_dup: int = 1
+    drop_last: bool = False
 
     def sample_env_batch(self, env_cfg: RLEnvConfig, rng: np.random.Generator):
         n_groups = max(1, env_cfg.num_envs // self.n_samples)
@@ -67,6 +76,38 @@ class RLDataLoaderConfig(base_exp.Config):
                 seeds.append(int(rng.integers(1 << 30)))
                 groups.append(g)
         return tasks, trials, seeds, np.asarray(groups), n_groups
+
+    def build_loader(self, env_cfg: RLEnvConfig, seed: int):
+        from dexbotic_tpu.data.dex_rl_dataset import (
+            BufferedRLDataLoader,
+            DexRLDataset,
+        )
+
+        ds = DexRLDataset(
+            list(env_cfg.task_names),
+            num_trials_per_task=self.num_trials_per_task,
+            env_type=env_cfg.env_type,
+            task_suite_name=env_cfg.task_suite_name,
+        )
+        n_groups = max(1, env_cfg.num_envs // self.n_samples)
+        return BufferedRLDataLoader(
+            ds, batch_size=n_groups, env_dup=self.env_dup,
+            drop_last=self.drop_last, seed=seed,
+        )
+
+    def expand_groups(self, base_specs, rng: np.random.Generator):
+        """Loader batch (base EnvSpecs) -> (tasks, trials, seeds, groups,
+        n_groups): each spec is one GRPO prompt group rolled out n_samples
+        times with distinct episode seeds (reference get_batch_env_configs,
+        dex_rl_dataset.py:357-386)."""
+        tasks, trials, seeds, groups = [], [], [], []
+        for g, spec in enumerate(base_specs):
+            for _ in range(self.n_samples):
+                tasks.append(spec.task_name)
+                trials.append(spec.trial_id)
+                seeds.append(int(rng.integers(1 << 30)))
+                groups.append(g)
+        return tasks, trials, seeds, np.asarray(groups), len(base_specs)
 
 
 @dataclass
@@ -148,12 +189,30 @@ class SimpleVLARLExp(base_exp.BaseExp):
         pid, nproc = jax.process_index(), jax.process_count()
         host_rng = np.random.default_rng(self.trainer.seed + pid)
         rng = jax.random.fold_in(jax.random.PRNGKey(self.trainer.seed), pid)
+        loader = (
+            self.rl_data.build_loader(self.env, self.trainer.seed)
+            if self.rl_data.schedule == "epoch"
+            else None
+        )
         history = []
         for epoch in range(self.rl_epochs):
+            if loader is not None:
+                loader.set_epoch(epoch)
+                batches = iter(loader)
             for step in range(self.rl_steps_per_epoch):
-                tasks, trials, seeds, groups, n_groups = self.rl_data.sample_env_batch(
-                    self.env, host_rng
-                )
+                if loader is not None:
+                    try:
+                        base = next(batches)
+                    except StopIteration:
+                        batches = iter(loader)
+                        base = next(batches)
+                    tasks, trials, seeds, groups, n_groups = self.rl_data.expand_groups(
+                        base, host_rng
+                    )
+                else:
+                    tasks, trials, seeds, groups, n_groups = self.rl_data.sample_env_batch(
+                        self.env, host_rng
+                    )
                 groups = np.asarray(groups) + pid * n_groups  # globally unique
                 envs = create_env_batch(
                     self.env.env_type, self.env.task_suite_name, tasks, trials,

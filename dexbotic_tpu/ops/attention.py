@@ -159,6 +159,49 @@ def _flash_kernel(
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
+def _flash_kernel_single(
+    q_grp_ref,  # [1, 1, SQ] int32
+    kv_grp_ref,  # [1, 1, SK] int32
+    kv_valid_ref,  # [1, 1, SK] int32
+    q_seg_ref,  # [1, 1, SQ] int32
+    kv_seg_ref,  # [1, 1, SK] int32
+    q_ref,  # [1, 1, SQ, D]
+    k_ref,  # [1, 1, SK, D]
+    v_ref,  # [1, 1, SK, D]
+    o_ref,  # [1, 1, SQ, D]
+):
+    """Whole-sequence kernel for short prefills: one grid step per (b, h),
+    so there is no online-softmax bookkeeping (no m/l scratch, no grid-carry
+    init/finalize) — a plain masked softmax entirely in VMEM.  This is what
+    wins below ~1k kv tokens where the multi-block kernel's per-step
+    overheads dominate (TODO round 1 / VERDICT Weak #2)."""
+    qg = jnp.transpose(q_grp_ref[0])  # [SQ, 1]
+    kg = kv_grp_ref[0]  # [1, SK]
+    valid = kv_valid_ref[0]  # [1, SK]
+    qs = jnp.transpose(q_seg_ref[0])  # [SQ, 1]
+    ks_ = kv_seg_ref[0]  # [1, SK]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [SQ, D] (pre-scaled)
+    k = k_ref[0, 0].astype(jnp.float32)  # [SK, D]
+    v = v_ref[0, 0].astype(jnp.float32)  # [SK, D]
+
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [SQ, SK]
+    allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)
+    scores = jnp.where(allowed, scores, _NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = jnp.where(allowed, p, 0.0)  # fully-masked rows -> 0, not NaN
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    out = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -170,7 +213,8 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_kv", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_kv", "interpret", "single_block_max"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -185,12 +229,15 @@ def flash_attention(
     interpret: bool = False,
     q_seg: jnp.ndarray | None = None,
     kv_seg: jnp.ndarray | None = None,
+    single_block_max: int = 1024,
 ) -> jnp.ndarray:
     """Pallas flash attention with group-int block-causal masking.
 
     Same contract as :func:`attention_xla`.  Sequence lengths are padded to
     block multiples internally; padded keys are marked invalid and padded
-    query rows are sliced off.
+    query rows are sliced off.  Sequences with q and kv both under
+    `single_block_max` take the whole-sequence single-grid-step kernel
+    (one masked softmax per (b, h), no online-softmax carry).
     """
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
@@ -199,9 +246,15 @@ def flash_attention(
     if scale is None:
         scale = D**-0.5
 
-    # Clamp the q block for short suffix sequences, keeping sublane alignment.
-    block_q = min(block_q, max(8, ((Sq + 7) // 8) * 8))
-    block_kv = min(block_kv, max(128, ((Skv + 127) // 128) * 128))
+    single = max(Sq, Skv) <= single_block_max
+    if single:
+        # whole sequence in one block per (b, h): minimal padding, no kv grid
+        block_q = max(8, ((Sq + 7) // 8) * 8)
+        block_kv = max(128, ((Skv + 127) // 128) * 128)
+    else:
+        # Clamp the q block for short suffix sequences, keeping sublane alignment.
+        block_q = min(block_q, max(8, ((Sq + 7) // 8) * 8))
+        block_kv = min(block_kv, max(128, ((Skv + 127) // 128) * 128))
     out_dtype = q.dtype
 
     # Pre-scale q once (cheaper than per kv-block inside the kernel).
@@ -229,6 +282,39 @@ def flash_attention(
     qt = jnp.transpose(qp, (0, 2, 1, 3))
     kt = jnp.transpose(kp, (0, 2, 1, 3))
     vt = jnp.transpose(vp, (0, 2, 1, 3))
+
+    if single:
+        out = pl.pallas_call(
+            _flash_kernel_single,
+            grid=(B, Hq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h: (b, h // group, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h: (b, h // group, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype),
+            interpret=interpret,
+        )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p, qt, kt, vt)
+        return jnp.transpose(out, (0, 2, 1, 3))[:, :Sq]
 
     grid = (B, Hq, qb, kb)
 
@@ -288,14 +374,20 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 
-def _tpu_ok(head_dim: int, kv_len: int = 0) -> bool:
+def _tpu_ok(head_dim: int, kv_len: int = 0, q_len: int = 0) -> bool:
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover
         return False
-    # XLA's fused attention wins below ~1k kv tokens on v5e; the Pallas
-    # kernel wins beyond (1.3-1.7x at 2k-8k, measured in BENCH_NOTES.md)
-    return platform == "tpu" and head_dim % 128 == 0 and kv_len >= 1024
+    # Measured on v5e (BENCH_NOTES.md): the multi-block kernel wins beyond
+    # ~1k kv tokens (1.3-1.8x at 2k-8k); the whole-sequence single-block
+    # kernel wins the 512-1k prefill range (1.0-1.5x) where VLA prefills
+    # live.  XLA keeps the tiny-work shapes — decode steps (q_len ~1) and
+    # short suffix-vs-cache denoise calls — where per-(b,h) grid launches
+    # dominate (0.7-0.98x).
+    if platform != "tpu" or head_dim % 128 != 0:
+        return False
+    return kv_len >= 1024 or q_len >= 384
 
 
 def attention(
@@ -316,7 +408,7 @@ def attention(
     Optional q_seg/kv_seg isolate packed sequences (NaVILA-style packing).
     """
     if impl == "auto":
-        impl = "pallas" if _tpu_ok(q.shape[-1], k.shape[1]) else "xla"
+        impl = "pallas" if _tpu_ok(q.shape[-1], k.shape[1], q.shape[1]) else "xla"
     if impl == "xla":
         return attention_xla(q, k, v, q_grp, kv_grp, kv_valid, scale,
                              q_seg=q_seg, kv_seg=kv_seg)

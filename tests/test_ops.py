@@ -130,13 +130,17 @@ def test_attention_xla_causal_matches_naive():
 
 
 @pytest.mark.parametrize("gqa", [1, 4])
-def test_flash_attention_matches_xla(gqa):
+@pytest.mark.parametrize("single_max", [0, 1024])
+def test_flash_attention_matches_xla(gqa, single_max):
+    # single_max=1024 takes the whole-sequence single-grid-step kernel;
+    # single_max=0 forces the multi-block online-softmax kernel
     Hkv = 2
     q, k, v, qg, kg, valid = _rand_attn_inputs(
         jax.random.PRNGKey(1), 2, 48, 48, Hkv * gqa, Hkv, 128, causal=True
     )
     ref = attention_xla(q, k, v, qg, kg, valid)
-    got = flash_attention(q, k, v, qg, kg, valid, interpret=True, block_q=16, block_kv=16)
+    got = flash_attention(q, k, v, qg, kg, valid, interpret=True, block_q=16,
+                          block_kv=16, single_block_max=single_max)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
@@ -155,10 +159,12 @@ def test_flash_attention_suffix_vs_cache():
     )
     kv_valid = jnp.ones((B, P + S), jnp.int32)
     ref = attention_xla(q, k, v, q_grp, kv_grp, kv_valid)
-    got = flash_attention(
-        q, k, v, q_grp, kv_grp, kv_valid, interpret=True, block_q=8, block_kv=8
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    for single_max in (0, 1024):
+        got = flash_attention(
+            q, k, v, q_grp, kv_grp, kv_valid, interpret=True, block_q=8,
+            block_kv=8, single_block_max=single_max,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
 def test_flash_attention_padding_invalid_kv():
@@ -171,7 +177,9 @@ def test_flash_attention_padding_invalid_kv():
     valid = jnp.array([[1] * 9 + [0] * 3], dtype=jnp.int32)
     grp = jnp.cumsum(valid, axis=1)
     ref = attention_xla(q, k, v, grp, grp, valid)
-    got = flash_attention(q, k, v, grp, grp, valid, interpret=True, block_q=8, block_kv=8)
-    np.testing.assert_allclose(
-        np.asarray(got)[:, :9], np.asarray(ref)[:, :9], rtol=1e-4, atol=1e-4
-    )
+    for single_max in (0, 1024):
+        got = flash_attention(q, k, v, grp, grp, valid, interpret=True,
+                              block_q=8, block_kv=8, single_block_max=single_max)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :9], np.asarray(ref)[:, :9], rtol=1e-4, atol=1e-4
+        )

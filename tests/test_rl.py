@@ -297,3 +297,88 @@ def test_rl_loop_with_libero_shaped_env():
                                  episode_success=buf.success[idx],
                                  episode_group=new_groups)
     assert np.isfinite(np.asarray(batch["advantages"])).all()
+
+
+def test_buffered_rl_dataloader_epoch_contract():
+    """DexRLDataset enumerates task x trial; the loader shuffles per epoch
+    deterministically, slices ranks disjointly with cyclic padding, and
+    interleaves env_dup copies consecutively (reference
+    dex_rl_dataset.py:65-419)."""
+    from dexbotic_tpu.data.dex_rl_dataset import BufferedRLDataLoader, DexRLDataset
+
+    ds = DexRLDataset(["a", "b", "c"], num_trials_per_task=5, env_type="mock")
+    assert len(ds) == 15
+    assert ds[0].task_name == "a" and ds[0].trial_id == 0
+    assert ds[14].task_name == "c" and ds[14].trial_id == 4
+    assert ds[3].uid == DexRLDataset(["a"], 5, env_type="mock")[3].uid  # stable
+
+    # two ranks: disjoint except cyclic pad; together cover the dataset
+    loaders = [
+        BufferedRLDataLoader(ds, batch_size=2, seed=7, rank=r, world_size=2)
+        for r in (0, 1)
+    ]
+    seen = [
+        [s.data_source for batch in ld for s in batch] for ld in loaders
+    ]
+    assert len(seen[0]) == len(seen[1]) == 8  # ceil(15/2) each
+    union = set(seen[0]) | set(seen[1])
+    assert len(union) == 15  # full coverage (one cyclic duplicate)
+
+    # same epoch -> identical order; different epoch -> different order
+    again = [s.data_source for batch in loaders[0] for s in batch]
+    assert again == seen[0]
+    loaders[0].set_epoch(1)
+    assert [s.data_source for b in loaders[0] for s in b] != seen[0]
+
+    # env_dup interleaving: consecutive duplicates
+    ld = BufferedRLDataLoader(ds, batch_size=2, env_dup=3, seed=0,
+                              rank=0, world_size=1)
+    batch = next(iter(ld))
+    assert len(batch) == 6
+    assert batch[0] is batch[1] is batch[2] and batch[3] is batch[4] is batch[5]
+    assert batch[0] is not batch[3]
+
+    # buffer API
+    ld.add_to_buffer({"x": 1})
+    ld.add_to_buffer({"x": 2})
+    assert ld.get_buffer_size() == 2
+    assert len(ld.sample_from_buffer(1, np.random.default_rng(0))) == 1
+    assert len(ld.sample_from_buffer(99)) == 2
+    ld.clear_buffer()
+    assert ld.get_buffer_size() == 0
+
+
+def test_rl_epoch_schedule_drives_training():
+    """schedule='epoch' runs the GRPO loop off the BufferedRLDataLoader
+    (every (task, trial) enumerated per epoch instead of random draws)."""
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.oft_exp import OFTModelConfig
+    from dexbotic_tpu.exp.rl.rl_trainer import RolloutConfig as RollCfg
+    from dexbotic_tpu.exp.simplevla_rl_exp import (
+        RLDataLoaderConfig,
+        RLEnvConfig,
+        SimpleVLARLExp,
+    )
+    from dexbotic_tpu.exp.trainer import TrainerConfig
+
+    exp = SimpleVLARLExp(
+        model=OFTModelConfig(
+            llm_preset="test", vit_preset="test", action_model_type="Discrete",
+            action_dim=3, chunk_size=4, num_bins=32,
+        ),
+        data=base_exp.DataConfig(image_processor="28"),
+        env=RLEnvConfig(env_type="mock", task_names=("t0", "t1"), num_envs=4,
+                        max_episode_steps=8, obs_dim=(28, 28, 3)),
+        rl_data=RLDataLoaderConfig(n_samples=2, schedule="epoch",
+                                   num_trials_per_task=3),
+        rollout=RollCfg(max_env_steps=8, chunk_steps=4, temperature=1.0),
+        grpo=GRPOConfig(entropy_coeff=0.001),
+        rl_epochs=1,
+        rl_steps_per_epoch=2,
+        micro_batch_size=4,
+        prompt_text_len=8,
+        trainer=TrainerConfig(seed=0),
+    )
+    params, history = exp.train_rl()
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
