@@ -36,12 +36,28 @@ def main():
 
     cfg = build(SCALE)
     params = init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    # bf16 moments: the on-device scan double-buffers the carry, so fp32
-    # AdamW state (2x7.3GB transient for 0.9B) cannot fit one 16GB chip
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(1e-5, mu_dtype=jnp.bfloat16),
-    )
+    freeze = os.environ.get("BENCH_FREEZE", "")
+    if freeze:
+        # adapter-style fine-tune through the product freeze path: frozen
+        # subtrees get set_to_zero (NO moments allocated), which is what
+        # makes 1b-class training fit one 16GB chip (exp/optim.py)
+        from dexbotic_tpu.exp.optim import OptimizerConfig, build_optimizer
+
+        ocfg = OptimizerConfig(
+            learning_rate=1e-5,
+            freeze_llm="llm" in freeze,
+            freeze_mm_vision="vision" in freeze or "llm" in freeze,
+            lr_scheduler_type="constant",
+            warmup_ratio=0.0,
+        )
+        tx = build_optimizer(ocfg, params, total_steps=1000)
+    else:
+        # bf16 moments: the on-device scan double-buffers the carry, so fp32
+        # AdamW state (2x7.3GB transient for 0.9B) cannot fit one 16GB chip
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(1e-5, mu_dtype=jnp.bfloat16),
+        )
     opt_state = tx.init(params)
 
     B = int(os.environ.get("BENCH_BATCH", "8"))
@@ -84,10 +100,11 @@ def main():
     samples_per_sec = B / dt
 
     baseline = BASELINE_SAMPLES_PER_SEC.get(SCALE, 8.0)
+    tag = f"_{freeze}_frozen" if freeze else ""
     print(
         json.dumps(
             {
-                "metric": f"cogact_{SCALE}_train_samples_per_sec_chip",
+                "metric": f"cogact_{SCALE}{tag}_train_samples_per_sec_chip",
                 "value": round(samples_per_sec, 3),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(samples_per_sec / baseline, 3),

@@ -94,6 +94,7 @@ def _flash_kernel(
     k_ref,  # [1, 1, BK, D]
     v_ref,  # [1, 1, BK, D]
     o_ref,  # [1, 1, BQ, D]
+    lse_ref,  # [1, 1, 1, BQ] fp32 log-sum-exp (for the backward)
     m_scr,  # [BQ, 128] fp32 running max (col-broadcast)
     l_scr,  # [BQ, 128] fp32 running denom
     acc_scr,  # [BQ, D] fp32 accumulator
@@ -157,6 +158,8 @@ def _flash_kernel(
     def _finalize():
         denom = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:, 0] + jnp.log(denom[:, 0]))[None, :].astype(
+            lse_ref.dtype)
 
 
 def _flash_kernel_single(
@@ -169,6 +172,7 @@ def _flash_kernel_single(
     k_ref,  # [1, 1, SK, D]
     v_ref,  # [1, 1, SK, D]
     o_ref,  # [1, 1, SQ, D]
+    lse_ref,  # [1, 1, 1, SQ] fp32 log-sum-exp (for the backward)
 ):
     """Whole-sequence kernel for short prefills: one grid step per (b, h),
     so there is no online-softmax bookkeeping (no m/l scratch, no grid-carry
@@ -200,6 +204,7 @@ def _flash_kernel_single(
         preferred_element_type=jnp.float32,
     )
     o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m[:, 0] + jnp.log(denom[:, 0]))[None, :].astype(lse_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0):
@@ -212,39 +217,31 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "block_q", "block_kv", "interpret", "single_block_max"),
-)
-def flash_attention(
+def _flash_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     q_grp: jnp.ndarray,
     kv_grp: jnp.ndarray,
     kv_valid: jnp.ndarray,
-    scale: float | None = None,
-    block_q: int = 256,
-    block_kv: int = 512,
-    interpret: bool = False,
-    q_seg: jnp.ndarray | None = None,
-    kv_seg: jnp.ndarray | None = None,
-    single_block_max: int = 1024,
+    q_seg: jnp.ndarray,
+    kv_seg: jnp.ndarray,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    interpret: bool,
+    single_block_max: int,
 ) -> jnp.ndarray:
-    """Pallas flash attention with group-int block-causal masking.
-
-    Same contract as :func:`attention_xla`.  Sequence lengths are padded to
-    block multiples internally; padded keys are marked invalid and padded
-    query rows are sliced off.  Sequences with q and kv both under
-    `single_block_max` take the whole-sequence single-grid-step kernel
-    (one masked softmax per (b, h), no online-softmax carry).
-    """
+    """Pallas forward implementation (no autodiff rule of its own; wrapped
+    in a custom_vjp below).  Sequence lengths are padded to block multiples
+    internally; padded keys are marked invalid and padded query rows are
+    sliced off.  Sequences with q and kv both under `single_block_max` take
+    the whole-sequence single-grid-step kernel (one masked softmax per
+    (b, h), no online-softmax carry)."""
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     assert Hq % Hkv == 0
     group = Hq // Hkv
-    if scale is None:
-        scale = D**-0.5
 
     single = max(Sq, Skv) <= single_block_max
     if single:
@@ -268,10 +265,6 @@ def flash_attention(
     q_grp_p = _pad_to(q_grp.astype(jnp.int32), 1, block_q)[:, None, :]
     kv_grp_p = _pad_to(kv_grp.astype(jnp.int32), 1, block_kv)[:, None, :]
     kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), 1, block_kv, value=0)[:, None, :]
-    if q_seg is None:
-        q_seg = jnp.zeros((B, Sq), jnp.int32)
-    if kv_seg is None:
-        kv_seg = jnp.zeros((B, Skv), jnp.int32)
     q_seg_p = _pad_to(q_seg.astype(jnp.int32), 1, block_q)[:, None, :]
     kv_seg_p = _pad_to(kv_seg.astype(jnp.int32), 1, block_kv)[:, None, :]
 
@@ -307,14 +300,20 @@ def flash_attention(
                              lambda b, h: (b, h // group, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
             ),
-            out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype),
+                jax.ShapeDtypeStruct((B, Hq, 1, Sqp), jnp.float32),
+            ),
             interpret=interpret,
         )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p, qt, kt, vt)
-        return jnp.transpose(out, (0, 2, 1, 3))[:, :Sq]
+        out, lse = out
+        return jnp.transpose(out, (0, 2, 1, 3))[:, :Sq], lse
 
     grid = (B, Hq, qb, kb)
 
@@ -353,10 +352,16 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i),
+                         memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype),
+            jax.ShapeDtypeStruct((B, Hq, 1, Sqp), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -365,8 +370,419 @@ def flash_attention(
         interpret=interpret,
     )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p, qt, kt, vt)
 
-    out = jnp.transpose(out, (0, 2, 1, 3))[:, :Sq]
+    out, lse = out
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :Sq], lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash backward kernels
+# ---------------------------------------------------------------------------
+#
+# Standard FlashAttention-2 backward: with lse saved from the forward,
+#   P_ij   = exp(S_ij - lse_i)            (recomputed blockwise, masked)
+#   dV_j  += P_ij^T dO_i
+#   dP_ij  = dO_i V_j^T
+#   dS_ij  = P_ij * (dP_ij - delta_i),    delta_i = rowsum(dO_i * O_i)
+#   dQ_i  += dS_ij K_j * scale
+#   dK_j  += dS_ij^T Q_i * scale          (q arrives pre-scaled, so the scale
+#                                          on dK is already folded in; dQ is
+#                                          rescaled in the wrapper)
+# Two accumulation orders can't share one grid, so dQ and dK/dV are separate
+# kernels (dQ: kv-major accumulation per q block; dKV: q-major per kv block).
+# For GQA, dK/dV are produced per QUERY head and group-summed in the wrapper.
+
+
+def _masked_p(scores, allowed, lse_col):
+    # where() keeps masked lanes from turning exp overflow into NaNs
+    return jnp.where(allowed, jnp.exp(scores - lse_col), 0.0)
+
+
+def _flash_bwd_dq_kernel(
+    q_grp_ref, kv_grp_ref, kv_valid_ref, q_seg_ref, kv_seg_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,  # [1, 1, BQ, D] fp32
+    acc_scr,  # [BQ, D] fp32
+    *,
+    kv_blocks: int,
+):
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qg = jnp.transpose(q_grp_ref[0])
+    kg = kv_grp_ref[0]
+    valid = kv_valid_ref[0]
+    qs = jnp.transpose(q_seg_ref[0])
+    ks_ = kv_seg_ref[0]
+    kg_eff = jnp.where(valid > 0, kg, jnp.iinfo(jnp.int32).max)
+    relevant = jnp.min(kg_eff) <= jnp.max(qg)
+
+    @pl.when(relevant)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D] (pre-scaled)
+        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+        lse = jnp.transpose(lse_ref[0, 0])  # [BQ, 1]
+        delta = jnp.transpose(delta_ref[0, 0])  # [BQ, 1]
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)
+        p = _masked_p(scores, allowed, lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        acc_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_grp_ref, kv_grp_ref, kv_valid_ref, q_seg_ref, kv_seg_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref,  # [1, 1, BK, D] fp32 (per query head; group-summed outside)
+    dv_ref,  # [1, 1, BK, D] fp32
+    dk_scr,  # [BK, D] fp32
+    dv_scr,  # [BK, D] fp32
+    *,
+    q_blocks: int,
+):
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qg = jnp.transpose(q_grp_ref[0])
+    kg = kv_grp_ref[0]
+    valid = kv_valid_ref[0]
+    qs = jnp.transpose(q_seg_ref[0])
+    ks_ = kv_seg_ref[0]
+    kg_eff = jnp.where(valid > 0, kg, jnp.iinfo(jnp.int32).max)
+    relevant = jnp.min(kg_eff) <= jnp.max(qg)
+
+    @pl.when(relevant)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = jnp.transpose(lse_ref[0, 0])
+        delta = jnp.transpose(delta_ref[0, 0])
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)
+        p = _masked_p(scores, allowed, lse)  # [BQ, BK]
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)  # [BQ, BK]
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(i == q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_single_kernel(
+    q_grp_ref, kv_grp_ref, kv_valid_ref, q_seg_ref, kv_seg_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+):
+    """Whole-sequence backward for the single-block forward: all three
+    gradients in one grid step per (b, h)."""
+    qg = jnp.transpose(q_grp_ref[0])
+    kg = kv_grp_ref[0]
+    valid = kv_valid_ref[0]
+    qs = jnp.transpose(q_seg_ref[0])
+    ks_ = kv_seg_ref[0]
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = jnp.transpose(lse_ref[0, 0])
+    delta = jnp.transpose(delta_ref[0, 0])
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    allowed = (kg <= qg) & (valid > 0) & (ks_ == qs)
+    p = _masked_p(scores, allowed, lse)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+def _flash_bwd_impl(
+    q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg, out, lse, g,
+    scale, block_q, block_kv, interpret, single_block_max,
+):
+    """Pallas backward: returns (dq, dk, dv) in the ORIGINAL [B, S, H, D]
+    layout and dtypes.  lse is the padded [B, Hq, Sqp] fp32 from the
+    forward."""
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    group = Hq // Hkv
+
+    single = max(Sq, Skv) <= single_block_max
+    if single:
+        block_q = max(8, ((Sq + 7) // 8) * 8)
+        block_kv = max(128, ((Skv + 127) // 128) * 128)
+    else:
+        block_q = min(block_q, max(8, ((Sq + 7) // 8) * 8))
+        block_kv = min(block_kv, max(128, ((Skv + 127) // 128) * 128))
+
+    qs_arr = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scaled q
+    qp = _pad_to(qs_arr, 1, block_q)
+    kp = _pad_to(k, 1, block_kv)
+    vp = _pad_to(v, 1, block_kv)
+    gp = _pad_to(g.astype(q.dtype), 1, block_q)
+    op = _pad_to(out.astype(jnp.float32), 1, block_q)
+
+    q_grp_p = _pad_to(q_grp.astype(jnp.int32), 1, block_q)[:, None, :]
+    kv_grp_p = _pad_to(kv_grp.astype(jnp.int32), 1, block_kv)[:, None, :]
+    kv_valid_p = _pad_to(kv_valid.astype(jnp.int32), 1, block_kv, value=0)[:, None, :]
+    q_seg_p = _pad_to(q_seg.astype(jnp.int32), 1, block_q)[:, None, :]
+    kv_seg_p = _pad_to(kv_seg.astype(jnp.int32), 1, block_kv)[:, None, :]
+
+    Sqp, Skvp = qp.shape[1], kp.shape[1]
+    qb, kb = Sqp // block_q, Skvp // block_kv
+
+    qt = jnp.transpose(qp, (0, 2, 1, 3))
+    kt = jnp.transpose(kp, (0, 2, 1, 3))
+    vt = jnp.transpose(vp, (0, 2, 1, 3))
+    dot = jnp.transpose(gp, (0, 2, 1, 3))  # [B, Hq, Sqp, D]
+    # delta_i = rowsum(dO * O), computed on the padded transposed layout
+    delta = jnp.sum(
+        dot.astype(jnp.float32) * jnp.transpose(op, (0, 2, 1, 3)), axis=-1
+    )[:, :, None, :]  # [B, Hq, 1, Sqp]
+
+    mask_specs_bh = [
+        pl.BlockSpec((1, 1, block_q), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_kv), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    if single:
+        dq, dk_h, dv_h = pl.pallas_call(
+            _flash_bwd_single_kernel,
+            grid=(B, Hq),
+            in_specs=mask_specs_bh + [
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h: (b, h // group, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h: (b, h // group, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, Hq, Sqp, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, Hq, Skvp, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, Hq, Skvp, D), jnp.float32),
+            ),
+            interpret=interpret,
+        )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p,
+          qt, kt, vt, dot, lse, delta)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_flash_bwd_dq_kernel, kv_blocks=kb),
+            grid=(B, Hq, qb, kb),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, i, j: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, i, j: (b, h // group, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, i, j: (b, h // group, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            interpret=interpret,
+        )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p,
+          qt, kt, vt, dot, lse, delta)
+
+        dk_h, dv_h = pl.pallas_call(
+            functools.partial(_flash_bwd_dkv_kernel, q_blocks=qb),
+            grid=(B, Hq, kb, qb),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), lambda b, h, j, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, j, i: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, j, i: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda b, h, j, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, j, i: (b, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, j, i: (b, h // group, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, j, i: (b, h // group, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i: (b, h, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h, j, i: (b, h, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, block_q), lambda b, h, j, i: (b, h, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i: (b, h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_kv, D), lambda b, h, j, i: (b, h, j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, Hq, Skvp, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, Hq, Skvp, D), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q_grp_p, kv_grp_p, kv_valid_p, q_seg_p, kv_seg_p,
+          qt, kt, vt, dot, lse, delta)
+
+    # dq was computed w.r.t. the PRE-SCALED q: rescale; back to [B, S, H, D]
+    dq = (jnp.transpose(dq, (0, 2, 1, 3))[:, :Sq] * scale).astype(q.dtype)
+    # group-sum per-query-head dk/dv down to the kv heads
+    dk_h = dk_h.reshape(B, Hkv, group, Skvp, D).sum(2)
+    dv_h = dv_h.reshape(B, Hkv, group, Skvp, D).sum(2)
+    dk = jnp.transpose(dk_h, (0, 2, 1, 3))[:, :Skv].astype(k.dtype)
+    dv = jnp.transpose(dv_h, (0, 2, 1, 3))[:, :Skv].astype(v.dtype)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Autodiff: custom VJP so training can run through the Pallas kernels
+# ---------------------------------------------------------------------------
+#
+# pallas_call has no JVP rule, so without this any value_and_grad through the
+# kernel raises.  The forward saves only (inputs, out, lse) — no [S, S]
+# probabilities — and the backward is the Pallas flash backward above.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_vjp(config, q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg):
+    out, _ = _flash_impl(q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg, *config)
     return out
+
+
+def _flash_vjp_fwd(config, q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg):
+    out, lse = _flash_impl(q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg, *config)
+    return out, (q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg, out, lse)
+
+
+def _flash_vjp_bwd(config, res, g):
+    q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(
+        q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg, out, lse, g, *config
+    )
+    return (dq, dk, dv, None, None, None, None, None)
+
+
+_flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_kv", "interpret", "single_block_max"),
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_grp: jnp.ndarray,
+    kv_grp: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_kv: int = 512,
+    interpret: bool = False,
+    q_seg: jnp.ndarray | None = None,
+    kv_seg: jnp.ndarray | None = None,
+    single_block_max: int = 1024,
+) -> jnp.ndarray:
+    """Pallas flash attention with group-int block-causal masking.
+
+    Same contract (and gradients) as :func:`attention_xla`; differentiable —
+    forward AND backward are Pallas flash kernels (lse saved, probabilities
+    recomputed blockwise; see `_flash_bwd_impl`).  See `_flash_impl` for the
+    block/padding strategy.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Skv, _, _ = k.shape
+    if scale is None:
+        scale = D**-0.5
+    if q_seg is None:
+        q_seg = jnp.zeros((B, Sq), jnp.int32)
+    if kv_seg is None:
+        kv_seg = jnp.zeros((B, Skv), jnp.int32)
+    config = (scale, block_q, block_kv, interpret, single_block_max)
+    return _flash_vjp(config, q, k, v, q_grp, kv_grp, kv_valid, q_seg, kv_seg)
 
 
 # ---------------------------------------------------------------------------

@@ -91,17 +91,22 @@ def bench(attn_impl: str, iters=20):
                  for g in jax.tree.leaves(grads))
         return loss.astype(jnp.float32), gn
 
-    def many(p, b):
-        def body(c, _):
-            loss, gn = step(p, b)
-            return c + loss + 0.0 * gn, None
-        return jax.lax.scan(body, jnp.float32(0), None, length=iters)[0]
+    def many(p, b, rng):
+        # per-iteration input perturbation: keeps the step loop-VARIANT so
+        # XLA cannot hoist the whole computation out of the scan
+        def body(c, r):
+            eps = jax.random.uniform(r, (), jnp.float32, 0.0, 1e-6)
+            b2 = {**b, "images": b["images"] + eps.astype(b["images"].dtype)}
+            loss, gn = step(p, b2)
+            return c + loss + gn * 1e-30, None
+
+        return jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, iters))[0]
 
     f = jax.jit(many)
-    r = f(params, batch)
+    r = f(params, batch, jax.random.PRNGKey(1))
     r.block_until_ready()
     t0 = time.perf_counter()
-    r = f(params, batch)
+    r = f(params, batch, jax.random.PRNGKey(2))
     total = float(r)  # pulls the scalar -> syncs
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(total)
@@ -109,15 +114,14 @@ def bench(attn_impl: str, iters=20):
 
 
 def main():
-    t_x = bench("xla")
-    t_p = bench("pallas")
     n_tok = 2 * 4096
-    print(
-        f"NaVILA packed train step (2x4096 tokens, 1b-class, bf16, remat):\n"
-        f"  xla    {t_x:7.1f} ms/step ({n_tok / t_x * 1e3:8.0f} tok/s)\n"
-        f"  pallas {t_p:7.1f} ms/step ({n_tok / t_p * 1e3:8.0f} tok/s)\n"
-        f"  pallas speedup {t_x / t_p:4.2f}x"
-    )
+    print("NaVILA packed train step (2x4096 tokens, 1b-class, bf16, remat):")
+    times = {}
+    for impl in ("xla", "pallas"):
+        times[impl] = bench(impl)
+        print(f"  {impl:6s} {times[impl]:7.1f} ms/step "
+              f"({n_tok / times[impl] * 1e3:8.0f} tok/s)", flush=True)
+    print(f"  pallas speedup {times['xla'] / times['pallas']:4.2f}x")
 
 
 if __name__ == "__main__":

@@ -183,3 +183,69 @@ def test_flash_attention_padding_invalid_kv():
         np.testing.assert_allclose(
             np.asarray(got)[:, :9], np.asarray(ref)[:, :9], rtol=1e-4, atol=1e-4
         )
+
+
+@pytest.mark.parametrize("single_max", [0, 1024])
+def test_flash_attention_gradients_match_xla(single_max):
+    """flash_attention is differentiable (custom VJP: Pallas forward, XLA
+    recompute backward) and its q/k/v gradients match the XLA path — the
+    training contract for the auto-dispatch (pallas_call itself has no JVP
+    rule, so without the custom VJP any train step through the kernel
+    raises)."""
+    Hkv, gqa = 2, 2
+    q, k, v, qg, kg, valid = _rand_attn_inputs(
+        jax.random.PRNGKey(5), 2, 40, 40, Hkv * gqa, Hkv, 128, causal=True
+    )
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, qg, kg, valid, interpret=True,
+                              block_q=16, block_kv=16,
+                              single_block_max=single_max)
+        return jnp.sum(out * out)
+
+    def loss_xla(q, k, v):
+        out = attention_xla(q, k, v, qg, kg, valid)
+        return jnp.sum(out * out)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_gradients_padding_and_segments():
+    """Backward kernels under invalid kv tails, GQA group-sum, and packed
+    segment isolation (the NaVILA training configuration)."""
+    B, S, Hq, Hkv, D = 2, 24, 4, 1, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (B, S, Hq, D))
+    k = jax.random.normal(ks[1], (B, S, Hkv, D))
+    v = jax.random.normal(ks[2], (B, S, Hkv, D))
+    valid = jnp.asarray(
+        np.concatenate([np.ones((B, 18)), np.zeros((B, 6))], axis=1), jnp.int32)
+    grp = jnp.cumsum(valid, axis=1)
+    seg = jnp.asarray(
+        np.concatenate([np.zeros((B, 9)), np.ones((B, 15))], axis=1), jnp.int32)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v)
+            return jnp.sum(jnp.where(valid[:, :, None, None] > 0, out, 0.0) ** 2)
+        return f
+
+    flash = loss(lambda q, k, v: flash_attention(
+        q, k, v, grp, grp, valid, interpret=True, block_q=8, block_kv=8,
+        q_seg=seg, kv_seg=seg, single_block_max=0))
+    flash_single = loss(lambda q, k, v: flash_attention(
+        q, k, v, grp, grp, valid, interpret=True,
+        q_seg=seg, kv_seg=seg, single_block_max=1024))
+    ref = loss(lambda q, k, v: attention_xla(
+        q, k, v, grp, grp, valid, q_seg=seg, kv_seg=seg))
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for f in (flash, flash_single):
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        for gf, gx in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                                       rtol=2e-4, atol=2e-4)
