@@ -87,14 +87,15 @@ void preprocess_canvas(const uint8_t* src, int ih, int iw,
                        int ch, int cw, int top, int left, const uint8_t* fill,
                        float* dst, int oh, int ow,
                        const float* mean, const float* inv_std, int interp,
-                       const Taps& tx, const Taps& ty) {
+                       const Taps& tx, const Taps& ty, int swap_channels) {
     const float rescale = 1.0f / 255.0f;
     const float fillf[3] = {float(fill[0]), float(fill[1]), float(fill[2])};
 
     // pass 1: horizontal, canvas rows -> temp [ch, ow, 3].  The source row
     // is widened to float once (it is re-read ~ksize times by overlapping
     // windows), with the fill borders materialized, so the gather loop is
-    // pure float FMAs.
+    // pure float FMAs.  swap_channels folds a BGR->RGB reorder into this
+    // conversion (cv2.imdecode output) for free — fill/mean/std stay RGB.
     std::vector<float> temp((size_t)ch * ow * 3);
     std::vector<float> fillrow((size_t)ow * 3);
     for (int x = 0; x < ow; ++x)
@@ -111,7 +112,13 @@ void preprocess_canvas(const uint8_t* src, int ih, int iw,
         }
         const uint8_t* srow = src + (size_t)(y - top) * iw * 3;
         float* fr = frow.data() + (size_t)left * 3;
-        for (int j = 0; j < iw * 3; ++j) fr[j] = srow[j];
+        if (swap_channels) {
+            for (int x = 0; x < iw; ++x)
+                for (int c = 0; c < 3; ++c)
+                    fr[x * 3 + c] = srow[x * 3 + (2 - c)];
+        } else {
+            for (int j = 0; j < iw * 3; ++j) fr[j] = srow[j];
+        }
         for (int x = 0; x < ow; ++x) {
             const int xmin = tx.bounds[(size_t)x * 2];
             const int cnt = tx.bounds[(size_t)x * 2 + 1];
@@ -182,7 +189,7 @@ extern "C" {
 void preprocess_batch(const uint8_t* src, int b, int ih, int iw,
                       float* dst, int oh, int ow,
                       const float* mean, const float* std_, int num_threads,
-                      int interp) {
+                      int interp, int swap_channels) {
     float inv_std[3] = {1.0f / std_[0], 1.0f / std_[1], 1.0f / std_[2]};
     const uint8_t fill[3] = {0, 0, 0};
     const size_t in_stride = (size_t)ih * iw * 3;
@@ -192,7 +199,7 @@ void preprocess_batch(const uint8_t* src, int b, int ih, int iw,
     run_batch(b, num_threads, [=, &tx, &ty](int i) {
         preprocess_canvas(src + i * in_stride, ih, iw, ih, iw, 0, 0, fill,
                           dst + i * out_stride, oh, ow, mean, inv_std, interp,
-                          tx, ty);
+                          tx, ty, swap_channels);
     });
 }
 
@@ -202,7 +209,8 @@ void preprocess_batch(const uint8_t* src, int b, int ih, int iw,
 void pad_preprocess_batch(const uint8_t* src, int b, int ih, int iw,
                           float* dst, int oh, int ow,
                           const float* mean, const float* std_,
-                          const uint8_t* fill, int num_threads, int interp) {
+                          const uint8_t* fill, int num_threads, int interp,
+                          int swap_channels) {
     float inv_std[3] = {1.0f / std_[0], 1.0f / std_[1], 1.0f / std_[2]};
     const int side = std::max(ih, iw);
     const int top = (side - ih) / 2, left = (side - iw) / 2;
@@ -213,7 +221,7 @@ void pad_preprocess_batch(const uint8_t* src, int b, int ih, int iw,
     run_batch(b, num_threads, [=, &tx, &ty](int i) {
         preprocess_canvas(src + i * in_stride, ih, iw, side, side, top, left,
                           fill, dst + i * out_stride, oh, ow, mean, inv_std,
-                          interp, tx, ty);
+                          interp, tx, ty, swap_channels);
     });
 }
 

@@ -44,12 +44,12 @@ def _build_and_load():
         lib.preprocess_batch.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int,
-            f32p, f32p, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.pad_preprocess_batch.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int,
-            f32p, f32p, u8p, ctypes.c_int, ctypes.c_int,
+            f32p, f32p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.expand2square_u8.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, u8p,
@@ -73,8 +73,12 @@ def preprocess_batch_fast(
     std=(0.5, 0.5, 0.5),
     num_threads: int = 8,
     interp: str = "bilinear",
+    channel_order: str = "rgb",
 ) -> np.ndarray:
-    """Fused resize + rescale + normalize -> float32 [B, size, size, 3]."""
+    """Fused resize + rescale + normalize -> float32 [B, size, size, 3].
+
+    channel_order='bgr' folds the cv2.imdecode BGR->RGB reorder into the
+    kernel's float conversion (fill/mean/std remain RGB)."""
     lib = _build_and_load()
     images = np.ascontiguousarray(images, dtype=np.uint8)
     b, h, w, c = images.shape
@@ -89,7 +93,7 @@ def preprocess_batch_fast(
         size, size,
         mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        num_threads, INTERP[interp],
+        num_threads, INTERP[interp], int(channel_order == "bgr"),
     )
     return out
 
@@ -102,6 +106,7 @@ def pad_preprocess_batch_fast(
     fill=(0, 0, 0),
     num_threads: int = 8,
     interp: str = "bilinear",
+    channel_order: str = "rgb",
 ) -> np.ndarray:
     """Fused centered pad-to-square + resize + rescale + normalize.
 
@@ -124,7 +129,7 @@ def pad_preprocess_batch_fast(
         mean_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         std_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         fill_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        num_threads, INTERP[interp],
+        num_threads, INTERP[interp], int(channel_order == "bgr"),
     )
     return out
 

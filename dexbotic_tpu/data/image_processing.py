@@ -112,7 +112,7 @@ def preprocess_image(image, cfg: ImageProcessorConfig) -> np.ndarray:
 
 def preprocess_images_batch(
     images, cfg: ImageProcessorConfig, use_native: bool = True,
-    pad_fill: tuple | None = None,
+    pad_fill: tuple | None = None, channel_order: str = "rgb",
 ) -> np.ndarray:
     """Batch of identically-sized uint8 frames -> [B, size, size, 3] float32.
 
@@ -136,13 +136,16 @@ def preprocess_images_batch(
                 return fast_image.pad_preprocess_batch_fast(
                     np.stack(arrs), cfg.size, mean=cfg.mean, std=cfg.std,
                     fill=pad_fill, interp=cfg.resample,
+                    channel_order=channel_order,
                 )
             return fast_image.preprocess_batch_fast(
                 np.stack(arrs), cfg.size, mean=cfg.mean, std=cfg.std,
-                interp=cfg.resample,
+                interp=cfg.resample, channel_order=channel_order,
             )
         except Exception:  # noqa: BLE001 (no toolchain)
             pass
+    if channel_order == "bgr":
+        arrs = [a[:, :, ::-1] for a in arrs]
     if pad_fill is not None:
         arrs = [expand2square(a, pad_fill) for a in arrs]
     return np.stack([preprocess_image(a, cfg) for a in arrs])

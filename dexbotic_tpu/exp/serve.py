@@ -23,7 +23,6 @@ import numpy as np
 from PIL import Image
 
 from dexbotic_tpu.data.image_processing import preprocess_images_batch, to_numpy_image
-from dexbotic_tpu.models.cogact import denorm_actions
 from dexbotic_tpu.tokenization import conversation as conversation_lib
 from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
 
@@ -67,23 +66,47 @@ def _cogact_prompt_ids(exp, cfg, tokenizer, prompt: str) -> list:
     )
 
 
-def _decode_frames(payloads) -> list:
-    """Raw multipart payloads / arrays / PIL images -> uint8 HWC arrays."""
-    return [
-        to_numpy_image(
-            p
-            if isinstance(p, (np.ndarray, Image.Image))
-            else Image.open(io.BytesIO(p))
-        )
-        for p in payloads
-    ]
+def _decode_frames(payloads) -> tuple[list, str]:
+    """Raw multipart payloads / arrays / PIL images -> (uint8 HWC arrays,
+    channel order).
+
+    cv2.imdecode is ~1.3x PIL on PNG camera frames and the serving hot path
+    is host-bound (decode > preprocess > device program; BENCH_NOTES p50
+    section), so prefer it — its BGR output is NOT copied here: the fused
+    preprocessing kernel folds the channel reorder into its own float
+    conversion (channel_order='bgr')."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        cv2 = None
+
+    out, orders = [], []
+    for p in payloads:
+        if isinstance(p, (np.ndarray, Image.Image)):
+            out.append(to_numpy_image(p))
+            orders.append("rgb")
+            continue
+        img = None
+        if cv2 is not None:
+            img = cv2.imdecode(np.frombuffer(p, np.uint8), cv2.IMREAD_COLOR)
+        if img is not None:
+            out.append(img)
+            orders.append("bgr")
+        else:
+            out.append(to_numpy_image(Image.open(io.BytesIO(p))))
+            orders.append("rgb")
+    if len(set(orders)) > 1:  # mixed sources: normalize to RGB up front
+        out = [a[:, :, ::-1] if o == "bgr" else a for a, o in zip(out, orders)]
+        return out, "rgb"
+    return out, orders[0] if orders else "rgb"
 
 
 def _cogact_images(payloads, proc) -> np.ndarray:
     """Decode -> fused pad-to-square + processor, batched over all frames
     (native C++ kernel when frames share a shape; cv2 fallback)."""
     fill = tuple(int(x * 255) for x in proc.mean)
-    return preprocess_images_batch(_decode_frames(payloads), proc, pad_fill=fill)
+    frames, order = _decode_frames(payloads)
+    return preprocess_images_batch(frames, proc, pad_fill=fill, channel_order=order)
 
 
 def prepare_cogact_inputs(exp, cfg, tokenizer, images, prompt: str):
@@ -183,6 +206,20 @@ class CogActServer(ActionServer):
         self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
         self.infer = exp.make_infer_fn(cfg, params)
         self.rng = jax.random.PRNGKey(0)
+        self._prompt_cache: dict = {}
+
+    def _prompt_ids(self, prompt: str) -> list:
+        # robot loops re-send the same instruction every frame; cache the
+        # template + tokenize work (requests are serialized by _lock)
+        cache = getattr(self, "_prompt_cache", None)
+        if cache is None:
+            cache = self._prompt_cache = {}
+        ids = cache.get(prompt)
+        if ids is None:
+            ids = _cogact_prompt_ids(self.exp, self.cfg, self.tokenizer, prompt)
+            if len(cache) < 1024:
+                cache[prompt] = ids
+        return ids
 
     def get_response(self, fields, files):
         """Single or batched requests: with 'batch_size'=B the posted images
@@ -199,10 +236,7 @@ class CogActServer(ActionServer):
         )
         per = len(payloads) // B
 
-        rows = [
-            _cogact_prompt_ids(self.exp, self.cfg, self.tokenizer, p)
-            for p in prompts
-        ]
+        rows = [self._prompt_ids(p) for p in prompts]
         L = max(len(r) for r in rows)
         ids_np = np.zeros((B, L), np.int32)
         valid_np = np.zeros((B, L), np.int32)
@@ -222,8 +256,13 @@ class CogActServer(ActionServer):
             )
         )
         if self.norms is not None:
-            out = np.asarray(
-                denorm_actions(jnp.asarray(out), self.norms["min"], self.norms["max"])
+            # numpy denorm: same math as denorm_actions (models/cogact.py)
+            # without a jax dispatch on a [B, chunk, dim] host array
+            lo = np.asarray(self.norms["min"], np.float64)
+            hi = np.asarray(self.norms["max"], np.float64)
+            a = np.clip(out[..., : len(lo)], -1.0, 1.0)
+            out = np.concatenate(
+                [lo + (a + 1.0) * 0.5 * (hi - lo), out[..., len(lo):]], axis=-1
             )
         return out[0].tolist() if B == 1 else out.tolist()
 
@@ -246,8 +285,10 @@ class MUVLAServer(ActionServer):
         payloads = [p for _, p in files]
         assert len(payloads) >= 2, "MUVLA needs a map view + >=1 obs view"
         proc = self.exp.data.build_image_processor()
-        map_img = jnp.asarray(preprocess_images_batch(_decode_frames(payloads[:1]), proc))
-        obs = jnp.asarray(preprocess_images_batch(_decode_frames(payloads[1:]), proc))[None]
+        map_f, map_o = _decode_frames(payloads[:1])
+        obs_f, obs_o = _decode_frames(payloads[1:])
+        map_img = jnp.asarray(preprocess_images_batch(map_f, proc, channel_order=map_o))
+        obs = jnp.asarray(preprocess_images_batch(obs_f, proc, channel_order=obs_o))[None]
         n_views = obs.shape[1]
 
         nt = self.cfg.num_fused_tokens(n_views)
@@ -297,7 +338,8 @@ class FlowVLAServer(ActionServer):
         images_np = np.zeros((B, self.num_images, proc.size, proc.size, 3), np.float32)
         masks_np = np.zeros((B, self.num_images), np.int32)
         keep = min(per, self.num_images)
-        flat = preprocess_images_batch(_decode_frames(payloads), proc)
+        frames, order = _decode_frames(payloads)
+        flat = preprocess_images_batch(frames, proc, channel_order=order)
         for b in range(B):
             images_np[b, :keep] = flat[b * per : b * per + keep]
             masks_np[b, :keep] = 1

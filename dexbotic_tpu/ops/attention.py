@@ -759,8 +759,8 @@ def flash_attention(
     kv_grp: jnp.ndarray,
     kv_valid: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: int = 512,
+    block_kv: int = 1024,
     interpret: bool = False,
     q_seg: jnp.ndarray | None = None,
     kv_seg: jnp.ndarray | None = None,

@@ -453,3 +453,27 @@ def test_pixel_aug_policies_parameter_faithful():
     assert padded.shape == (64, 64, 3)
     assert (padded[:8] == 0).all() and (padded[-8:] == 0).all()
     np.testing.assert_array_equal(padded[8:56], img)
+
+
+def test_fast_image_bgr_channel_order():
+    """channel_order='bgr' folds cv2's BGR output into the kernel: identical
+    result to preprocessing the RGB frame (serving decode path)."""
+    from dexbotic_tpu.data.fast_image import available
+    from dexbotic_tpu.data.image_processing import (
+        ImageProcessorConfig,
+        preprocess_images_batch,
+    )
+
+    rs = np.random.RandomState(2)
+    rgb = rs.randint(0, 255, (2, 60, 80, 3), np.uint8)
+    bgr = rgb[:, :, :, ::-1]
+    cfg = ImageProcessorConfig(size=32, resample="bicubic")
+    ref = preprocess_images_batch(list(rgb), cfg, pad_fill=(1, 2, 3))
+    got = preprocess_images_batch(list(bgr), cfg, pad_fill=(1, 2, 3),
+                                  channel_order="bgr")
+    tol = 1e-6 if available() else 0.05
+    assert np.abs(got - ref).max() <= tol
+    # non-pad path + fallback equivalence
+    got2 = preprocess_images_batch(list(bgr), cfg, channel_order="bgr")
+    ref2 = preprocess_images_batch(list(rgb), cfg, use_native=False)
+    assert np.abs(got2 - ref2).max() < 0.05
