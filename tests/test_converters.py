@@ -139,3 +139,94 @@ def test_lerobot_parse_episode_and_tasks(tmp_path):
         ["coarse task", "no-at-sign"], subtask_schema=True,
     )
     assert bad is None
+
+
+def _load_hw(name):
+    hw = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "hardware", "so101")
+    spec = importlib.util.spec_from_file_location(name, os.path.join(hw, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_so101_converter_end_to_end(tmp_path):
+    """Full SO-101 LeRobot tree -> Dexdata: prompt extraction with fallbacks,
+    camera discovery, stable episode numbering, video copy."""
+    pq = pytest.importorskip("pyarrow.parquet")
+    import pandas as pd
+    import pyarrow as pa
+
+    root = tmp_path / "rec"
+    task = root / "press_button" / "train"
+    (task / "meta").mkdir(parents=True)
+    (task / "data" / "chunk-000").mkdir(parents=True)
+    cam = task / "videos" / "observation.images.front"
+    (cam / "chunk-000").mkdir(parents=True)
+
+    with open(task / "meta" / "tasks.jsonl", "w") as f:
+        f.write(json.dumps({"task_index": 0, "task": "zh@press the button"}) + "\n")
+
+    for ep in range(2):
+        df = pd.DataFrame({
+            "observation.state": [np.arange(6, dtype=np.float64) + t for t in range(3)],
+            "action": [np.ones(6) * t for t in range(3)],
+            "frame_index": [0, 1, 2],
+            "task_index": [0, 0, 0],
+            "timestamp": [0.0, 0.1, 0.2],
+            "episode_index": [ep] * 3,
+        })
+        pq.write_table(pa.Table.from_pandas(df),
+                       task / "data" / "chunk-000" / f"episode_{ep:06d}.parquet")
+        (cam / "chunk-000" / f"episode_{ep:06d}.mp4").write_bytes(b"fakevideo")
+
+    conv = _load_hw("convert_so101_to_dexdata")
+    out = tmp_path / "out"
+    n = conv.convert(str(root), str(out))
+    assert n == 2
+    ep0 = [json.loads(l) for l in
+           open(out / "jsonl" / "press_button" / "episode_00000.jsonl")]
+    assert len(ep0) == 3
+    assert ep0[0]["prompt"] == "zh@press the button"
+    assert ep0[0]["extra"]["subtask"] == "press the button"
+    assert ep0[1]["images_1"]["frame_idx"] == 1
+    assert ep0[0]["images_1"]["url"] == "press_button/episode_00000_front.mp4"
+    assert (out / "videos" / "press_button" / "episode_00001_front.mp4").exists()
+
+    # prompt fallback: numeric tasks -> directory name
+    assert conv.get_task_list(str(tmp_path / "nonexistent")) == []
+
+
+def test_so101_client_delta_chain(monkeypatch):
+    """Chained delta integration off the last queued action, gripper zeroed,
+    rpy wrap, and hold_ticks duplication (reference client.py:24-66)."""
+    client_mod = _load_hw("client")
+
+    chunk = [[0.1, 0, 0, 3.0, 0, 0, 1.0], [0.1, 0, 0, 0.5, 0, 0, 0.0]]
+
+    class FakeResp:
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            return {"response": chunk}
+
+    import types
+
+    fake_requests = types.SimpleNamespace(post=lambda *a, **k: FakeResp())
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    c = client_mod.SO101Client("http://x", use_delta=True, hold_ticks=2)
+    obs = {"image": np.zeros((8, 8, 3), np.uint8)}
+    a1 = c.act(obs, "p")
+    a2 = c.act(obs, "p")
+    np.testing.assert_allclose(a1, a2)  # held for two ticks
+    np.testing.assert_allclose(a1[:4], [0.1, 0, 0, 3.0])
+    assert a1[6] == 1.0
+    a3 = c.act(obs, "p")
+    # second delta integrates on the first ABSOLUTE action; 3.0+0.5 wraps
+    np.testing.assert_allclose(a3[0], 0.2)
+    np.testing.assert_allclose(a3[3], 3.5 - 2 * np.pi)
+    assert a3[6] == 0.0  # gripper not integrated (zeroed base)
+    assert len(c.action_queue) == 1
