@@ -152,6 +152,52 @@ def main_pi0():
     }))
 
 
+def main_oft():
+    """OFT-L1: single-forward action regression (no sampler chain) — the
+    fastest serving policy class (reference model/oft/oft_arch.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+    from dexbotic_tpu.models.oft import OFTConfig, init_oft, oft_inference_action
+
+    base = build(SCALE)
+    cfg = OFTConfig(
+        vlm=base.vlm, action_model_type="L1", action_dim=7, chunk_size=8,
+    )
+    params = init_oft(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    nt = cfg.vlm.num_image_tokens
+    ids = np.random.RandomState(0).randint(1, 30000, (B, nt + 48))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids)
+    valid = jnp.ones(ids.shape, jnp.int32)
+    size = cfg.vlm.vit.image_size
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 1, size, size, 3), jnp.bfloat16)
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    def bench_n(params, ids, valid, imgs, rng, n):
+        def body(carry, r):
+            out = oft_inference_action(params, cfg, ids, valid, imgs, rng=r)
+            return carry + jnp.mean(out).astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
+        return acc
+
+    f = jax.jit(bench_n, static_argnums=(5,))
+    float(f(params, ids, valid, imgs, jax.random.PRNGKey(2), iters))
+    t0 = time.perf_counter()
+    float(f(params, ids, valid, imgs, jax.random.PRNGKey(3), iters))
+    dt = (time.perf_counter() - t0) / iters
+    baseline = {"test": 300.0, "1b": 40.0, "2b": 25.0, "7b": 14.0}.get(SCALE, 25.0)
+    print(json.dumps({
+        "metric": f"oft_l1_{SCALE}_action_chunks_per_sec_chip",
+        "value": round(B / dt, 3),
+        "unit": "chunks/s/chip",
+        "vs_baseline": round(B / dt / baseline, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -213,7 +259,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODEL", "cogact") == "pi0":
+    _model = os.environ.get("BENCH_MODEL", "cogact")
+    if _model == "pi0":
         main_pi0()
+    elif _model == "oft":
+        main_oft()
     else:
         main()
