@@ -27,6 +27,59 @@ import numpy as np
 # compile fast through the axon tunnel.  Override with BENCH_SCALE=7b later.
 SCALE = os.environ.get("BENCH_SCALE", "1b")
 
+# BENCH_QUANT=int8: weight-only int8 serving (ops/quant.py).  Halves weight
+# HBM traffic vs bf16 and fits the 7B class on one 16 GB v5e chip.
+QUANT = os.environ.get("BENCH_QUANT", "")
+
+
+def _build_params(init_fn):
+    """Init params; under BENCH_QUANT=int8, synthesize the QUANTIZED tree
+    directly on the chip.  The unquantized bf16 7B tree OOMs a 16 GB v5e at
+    init (measured), and init-on-host + quantize + 7 GB tunnel transfer
+    takes >1 h on this 1-core host — but bench weights are synthetic either
+    way and throughput doesn't depend on their values, so we eval_shape the
+    init+quantize pipeline and fill it on-device: int8 leaves ~ U[-127,127],
+    scales ~ the magnitude real quantization would produce, float leaves
+    ~ N(0, 0.02).  Real serving quantizes real checkpoints at load
+    (exp/base_exp.py:prepare_inference_params)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not QUANT:
+        return init_fn()
+    assert QUANT == "int8", f"unknown BENCH_QUANT={QUANT!r}"
+    from dexbotic_tpu.ops.quant import quantize_params
+
+    shapes = jax.eval_shape(lambda: quantize_params(init_fn(), in_place=False))
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 4096))
+
+    def make(s):
+        if s.dtype == jnp.int8:
+            return jax.random.randint(next(keys), s.shape, -127, 128, dtype=jnp.int8)
+        if s.ndim >= 2 and (s.shape[-2] == 1 or s.shape[-1] == 1):
+            # scale leaves: [.., 1, out] (linear) or [V, 1] (embedding)
+            return jnp.full(s.shape, 0.02 * 3 / 127, s.dtype)
+        return (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02).astype(s.dtype)
+
+    return jax.tree.map(make, shapes)
+
+
+def _qtag() -> str:
+    return f"_{QUANT}" if QUANT else ""
+
+
+def _fresh_params(params, r):
+    """Inside the timing scan, tie params to the loop-varying rng via an
+    optimization barrier when benching quantized weights: otherwise XLA
+    hoists the loop-invariant int8->bf16 dequant converts out of the scan,
+    materializing a full bf16 weight copy (OOM at 7b — and unrepresentative:
+    real serving dispatches per request, so dequant streams per matmul)."""
+    if not QUANT:
+        return params, r
+    import jax
+
+    return jax.lax.optimization_barrier((params, r))
+
 # Estimated reference (PyTorch A100) chunk rates for comparable model sizes.
 # CogACT-7B serving measures ~100-150ms/chunk on A100 in the authors' stack;
 # smaller backbones scale roughly linearly in LLM FLOPs.
@@ -118,7 +171,7 @@ def main_pi0():
     from dexbotic_tpu.models.flow_vla import flow_vla_inference_action, init_flow_vla
 
     cfg = build_pi0(SCALE)
-    params = init_flow_vla(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = _build_params(lambda: init_flow_vla(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
     B = int(os.environ.get("BENCH_BATCH", "1"))
     ids = jnp.asarray(np.random.RandomState(0).randint(1, 30000, (B, 48)))
     tmask = jnp.ones((B, 48), jnp.int32)
@@ -130,8 +183,9 @@ def main_pi0():
 
     def bench_n(params, rng, n):
         def body(carry, r):
+            p, r = _fresh_params(params, r)
             out = flow_vla_inference_action(
-                params, cfg, ids, tmask, imgs, imasks, states, r
+                p, cfg, ids, tmask, imgs, imasks, states, r
             )
             return carry + jnp.mean(out).astype(jnp.float32), None
 
@@ -145,7 +199,7 @@ def main_pi0():
     dt = (time.perf_counter() - t0) / iters
     baseline = {"test": 150.0, "1b": 20.0, "2b": 15.0, "7b": 12.0}.get(SCALE, 15.0)
     print(json.dumps({
-        "metric": f"pi0_{SCALE}_action_chunks_per_sec_chip",
+        "metric": f"pi0_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
         "value": round(B / dt, 3),
         "unit": "chunks/s/chip",
         "vs_baseline": round(B / dt / baseline, 3),
@@ -165,7 +219,7 @@ def main_oft():
     cfg = OFTConfig(
         vlm=base.vlm, action_model_type="L1", action_dim=7, chunk_size=8,
     )
-    params = init_oft(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = _build_params(lambda: init_oft(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
     B = int(os.environ.get("BENCH_BATCH", "1"))
     nt = cfg.vlm.num_image_tokens
     ids = np.random.RandomState(0).randint(1, 30000, (B, nt + 48))
@@ -178,7 +232,8 @@ def main_oft():
 
     def bench_n(params, ids, valid, imgs, rng, n):
         def body(carry, r):
-            out = oft_inference_action(params, cfg, ids, valid, imgs, rng=r)
+            p, r = _fresh_params(params, r)
+            out = oft_inference_action(p, cfg, ids, valid, imgs, rng=r)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
@@ -191,7 +246,7 @@ def main_oft():
     dt = (time.perf_counter() - t0) / iters
     baseline = {"test": 300.0, "1b": 40.0, "2b": 25.0, "7b": 14.0}.get(SCALE, 25.0)
     print(json.dumps({
-        "metric": f"oft_l1_{SCALE}_action_chunks_per_sec_chip",
+        "metric": f"oft_l1_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
         "value": round(B / dt, 3),
         "unit": "chunks/s/chip",
         "vs_baseline": round(B / dt / baseline, 3),
@@ -207,7 +262,7 @@ def main():
 
     cfg = build(SCALE)
     # init directly in bf16 (a transient fp32 7B tree would not fit HBM)
-    params = init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = _build_params(lambda: init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
 
     nt = cfg.vlm.num_image_tokens
     text_len = 48
@@ -230,7 +285,8 @@ def main():
         import jax.numpy as jnp
 
         def body(carry, r):
-            out = cogact_inference_action(params, cfg, ids, valid, imgs, r)
+            p, r = _fresh_params(params, r)
+            out = cogact_inference_action(p, cfg, ids, valid, imgs, r)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
@@ -249,7 +305,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"cogact_{SCALE}_action_chunks_per_sec_chip",
+                "metric": f"cogact_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
                 "value": round(chunks_per_sec, 3),
                 "unit": "chunks/s/chip",
                 "vs_baseline": round(chunks_per_sec / baseline, 3),

@@ -284,6 +284,32 @@ class BaseExp:
     tokenizer: TokenizerConfig = field(default_factory=TokenizerConfig)
     action: ActionConfig = field(default_factory=ActionConfig)
     data: DataConfig = field(default_factory=DataConfig)
+    # "" = bf16 serving (the reference's policy, exp/base_exp.py:714-760);
+    # "int8" = weight-only int8 (ops/quant.py) — halves weight HBM, fits the
+    # 7B class on one 16 GB v5e chip.  TPU-native extension, no ref analogue.
+    inference_quantize: str = ""
+    inference_quantize_min_size: int = 1 << 16  # skip weights smaller than this
+
+    def prepare_inference_params(self, params):
+        """Serving dtype policy: big tensors -> bf16 (scalars/1-D stay fp32),
+        then optional weight-only int8 quantization."""
+        import jax.numpy as jnp
+
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
+            else jnp.asarray(x),
+            params,
+        )
+        if self.inference_quantize == "int8":
+            from dexbotic_tpu.ops.quant import quantize_params
+
+            params = quantize_params(
+                params, min_size=self.inference_quantize_min_size, in_place=True
+            )
+        elif self.inference_quantize:
+            raise ValueError(f"unknown inference_quantize={self.inference_quantize!r}")
+        return params
 
     # ---- hooks each policy exp implements --------------------------------
 

@@ -7,7 +7,6 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from dexbotic_tpu.exp import base_exp
 from dexbotic_tpu.exp.trainer import load_checkpoint_params
@@ -91,13 +90,7 @@ class OFTExp(base_exp.BaseExp):
         import os
 
         cfg = self.model.build_config()
-        params = self.model.build_params(cfg)
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
-            else jnp.asarray(x),
-            params,
-        )
+        params = self.prepare_inference_params(self.model.build_params(cfg))
         norms = None
         if self.model.model_name_or_path:
             p = os.path.join(self.model.model_name_or_path, "norm_stats.json")

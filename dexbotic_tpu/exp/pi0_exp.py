@@ -168,13 +168,7 @@ class Pi0Exp(base_exp.BaseExp):
         import os
 
         cfg = self.model.build_config()
-        params = self.model.build_params(cfg)
-        params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
-            else jnp.asarray(x),
-            params,
-        )
+        params = self.prepare_inference_params(self.model.build_params(cfg))
         norms = None
         if self.model.model_name_or_path:
             p = os.path.join(self.model.model_name_or_path, "norm_stats.json")

@@ -92,7 +92,11 @@ def linear_init(
 
 
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
-    out = x @ p["w"].astype(x.dtype)
+    w = p["w"]
+    if isinstance(w, dict):  # weight-only int8 {"q", "s"} (ops/quant.py)
+        out = (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    else:
+        out = x @ w.astype(x.dtype)
     if "b" in p:
         out = out + p["b"].astype(out.dtype)
     return out
@@ -104,7 +108,12 @@ def embed_init(key, vocab: int, dim: int, dtype=jnp.float32, init: Initializer |
 
 
 def embed(p, ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(p["embedding"], ids, axis=0)
+    e = p["embedding"]
+    if isinstance(e, dict):  # weight-only int8, per-row scales (ops/quant.py)
+        q = jnp.take(e["q"], ids, axis=0)
+        s = jnp.take(e["s"], ids, axis=0)
+        return q.astype(s.dtype) * s
+    return jnp.take(e, ids, axis=0)
 
 
 ACTIVATIONS = {

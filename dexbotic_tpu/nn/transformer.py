@@ -140,8 +140,10 @@ def embed_tokens(params, cfg: TransformerConfig, ids: jnp.ndarray, dtype=None) -
 def lm_logits(params, cfg: TransformerConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if "lm_head" in params:
         return core.linear(params["lm_head"], hidden)
-    w = params["embed"]["embedding"].astype(hidden.dtype)
-    return hidden @ w.T
+    e = params["embed"]["embedding"]
+    if isinstance(e, dict):  # int8-quantized tied embedding (ops/quant.py)
+        return (hidden @ e["q"].astype(hidden.dtype).T) * e["s"].astype(hidden.dtype).T
+    return hidden @ e.astype(hidden.dtype).T
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,157 @@
+"""Weight-only int8 quantization (ops/quant.py).
+
+TPU-native serving extension (no reference counterpart — the reference
+serves bf16 as-is): verifies the quantized representation slots into the
+unchanged model code via nn/core.linear, nn/core.embed and
+nn/transformer.lm_logits, and that policy outputs stay close.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+from dexbotic_tpu.models.cogact import (
+    CogActConfig,
+    cogact_inference_action,
+    init_cogact,
+)
+from dexbotic_tpu.models.vlm import VLMConfig, init_vlm, vlm_forward
+from dexbotic_tpu.nn import core
+from dexbotic_tpu.nn.transformer import TransformerConfig, lm_logits
+from dexbotic_tpu.nn.vit import ViTConfig
+from dexbotic_tpu.ops.quant import (
+    dequantize_weight,
+    is_quantized,
+    quantize_params,
+    quantize_weight,
+    quantized_bytes,
+)
+
+LLM = TransformerConfig(
+    vocab_size=128, hidden_size=32, num_layers=2, num_heads=4, num_kv_heads=2,
+    head_dim=8, intermediate_size=64, attn_impl="xla",
+)
+VIT = ViTConfig(
+    image_size=28, patch_size=14, hidden_size=24, num_layers=2, num_heads=4,
+    intermediate_size=48, select_layer=None,
+)
+VLM = VLMConfig(llm=LLM, vit=VIT, projector_type="mlp2x_gelu")
+
+
+def _rel_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def test_quantize_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 96), jnp.float32)
+    d = quantize_weight(w)
+    assert d["q"].dtype == jnp.int8 and d["s"].shape == (1, 96)
+    # symmetric rounding: |w - q*s| <= s/2 per element
+    err = np.abs(np.asarray(dequantize_weight(d)) - np.asarray(w))
+    bound = 0.5 * np.asarray(d["s"], np.float64) + 1e-6
+    assert (err <= bound).all()
+
+
+def test_linear_quantized_close():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    p = core.linear_init(k1, 64, 96)
+    x = jax.random.normal(k2, (4, 64), jnp.float32)
+    exact = core.linear(p, x)
+    qp = {"w": quantize_weight(p["w"]), "b": p["b"]}
+    assert _rel_err(core.linear(qp, x), exact) < 0.02
+
+
+def test_embed_and_tied_lm_logits_quantized():
+    cfg = LLM  # tie_embeddings default path: no lm_head in params
+    p = {"embed": core.embed_init(jax.random.PRNGKey(2), cfg.vocab_size, cfg.hidden_size)}
+    ids = jnp.asarray([[3, 17, 99], [0, 5, 127]])
+    hidden = jax.random.normal(jax.random.PRNGKey(3), (2, 3, cfg.hidden_size), jnp.float32)
+    exact_emb = core.embed(p["embed"], ids)
+    exact_logits = lm_logits(p, cfg, hidden)
+
+    qp = quantize_params(p, min_size=0)
+    assert is_quantized(qp["embed"]["embedding"])
+    assert qp["embed"]["embedding"]["s"].shape == (cfg.vocab_size, 1)
+    assert _rel_err(core.embed(qp["embed"], ids), exact_emb) < 0.02
+    assert _rel_err(lm_logits(qp, cfg, hidden), exact_logits) < 0.02
+
+
+def test_quantize_params_walk_and_vlm_forward():
+    p = init_vlm(jax.random.PRNGKey(0), VLM)
+    qp = quantize_params(p, min_size=0)
+
+    # every eligible "w" leaf became {"q","s"}; biases/norms untouched
+    qw = qp["llm"]["layers"]["attn"]["q"]["w"]
+    assert is_quantized(qw)
+    # stacked layers keep the leading layer axis on q and s
+    assert qw["q"].ndim == 3 and qw["s"].ndim == 3 and qw["s"].shape[1] == 1
+    assert qw["q"].shape[0] == LLM.num_layers
+    # norm scales (also {"w"} dicts, 2-D when layer-stacked) are NOT quantized
+    assert not is_quantized(qp["llm"]["layers"]["ln1"]["w"])
+    assert not is_quantized(qp["llm"]["norm"]["w"])
+    assert not is_quantized(qp["vit"]["layers"]["ln1"]["w"])
+    assert quantized_bytes(qp) < 0.5 * quantized_bytes(p)
+
+    nt = VLM.num_image_tokens
+    ids = np.random.RandomState(0).randint(1, 100, (2, nt + 5))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids)
+    valid = jnp.ones(ids.shape, jnp.int32)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 28, 28, 3))
+    exact, _ = vlm_forward(p, VLM, ids, valid, images=imgs)
+    quant, _ = vlm_forward(qp, VLM, ids, valid, images=imgs)
+    assert np.isfinite(np.asarray(quant)).all()
+    assert _rel_err(quant, exact) < 0.05
+
+
+def test_min_size_threshold_skips_small_weights():
+    p = init_vlm(jax.random.PRNGKey(0), VLM)
+    qp = quantize_params(p)  # default min_size: all tiny weights skipped
+    assert jax.tree_util.tree_structure(qp) == jax.tree_util.tree_structure(p)
+
+
+def test_exp_quantized_inference_single(capsys):
+    """Product path: CogActExp(inference_quantize='int8') serves through the
+    quantized tree end-to-end (load_for_inference -> jitted infer)."""
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.cogact_exp import CogActExp, CogActModelConfig
+
+    exp = CogActExp(
+        model=CogActModelConfig(
+            llm_preset="test", vit_preset="test", action_model_type="DiT-S",
+            action_dim=7, chunk_size=4,
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        data=base_exp.DataConfig(image_processor="28", aug_policy="identity"),
+        inference_quantize="int8",
+        inference_quantize_min_size=0,  # test-scale weights are tiny
+    )
+    cfg, params, _ = exp.load_for_inference()
+    assert any(
+        is_quantized(l)
+        for l in jax.tree_util.tree_leaves(params, is_leaf=is_quantized)
+    )
+    actions = exp.inference_single(prompt="stack the bowls")
+    assert np.asarray(actions).shape == (4, 7)
+    assert np.isfinite(np.asarray(actions)).all()
+
+
+def test_cogact_inference_quantized_close():
+    cfg = CogActConfig(vlm=VLM, action_model_type="DiT-S", action_dim=7, chunk_size=4)
+    p = init_cogact(jax.random.PRNGKey(0), cfg)
+    nt = VLM.num_image_tokens
+    ids = np.random.RandomState(0).randint(1, 100, (2, nt + 5))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids)
+    valid = jnp.ones(ids.shape, jnp.int32)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 1, 28, 28, 3))
+
+    exact = cogact_inference_action(p, cfg, ids, valid, imgs, jax.random.PRNGKey(5))
+    qp = dict(p, vlm=quantize_params(p["vlm"], min_size=0))
+    quant = cogact_inference_action(qp, cfg, ids, valid, imgs, jax.random.PRNGKey(5))
+    assert quant.shape == exact.shape and np.isfinite(np.asarray(quant)).all()
+    e, q = np.asarray(exact).ravel(), np.asarray(quant).ravel()
+    cos = float(np.dot(e, q) / (np.linalg.norm(e) * np.linalg.norm(q)))
+    assert cos > 0.99, cos
