@@ -91,6 +91,7 @@ class MUVLAExp(base_exp.BaseExp):
 
         tokenizer = self.tokenizer.build_tokenizer()
         cfg, params, _ = self.build_model(tokenizer)
+        params = self.prepare_inference_params(params)
         server = MUVLAServer(self, cfg, params, tokenizer)
         server.run()
 

@@ -94,9 +94,13 @@ def linear_init(
 def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     w = p["w"]
     if isinstance(w, dict):  # weight-only int8 {"q", "s"} (ops/quant.py)
-        out = (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
-    else:
-        out = x @ w.astype(x.dtype)
+        # Pallas kernel streams int8 from HBM and dequantizes in-register
+        # (XLA would materialize bf16 weight copies); falls back to the XLA
+        # formulation off-TPU / for non-dividing shapes.
+        from dexbotic_tpu.ops.quant_matmul import quant_linear
+
+        return quant_linear(p, x)
+    out = x @ w.astype(x.dtype)
     if "b" in p:
         out = out + p["b"].astype(out.dtype)
     return out

@@ -36,11 +36,26 @@ import numpy as np
 DEFAULT_MIN_SIZE = 1 << 16
 
 
-def quantize_weight(w: jnp.ndarray, axis: int = -2) -> dict:
+def _pad_cols_to(n: int) -> int:
+    """Padded out-dim for linear weights: multiples of 1024 (>=1024) or 128.
+
+    Padding happens ONCE at quantization so the Pallas int8 matmul kernel
+    (ops/quant_matmul.py) can tile the out dim with large blocks — fewer
+    activation re-reads per matmul.  Zero columns contribute nothing; the
+    true out-dim is recovered from the scale's last axis."""
+    if n < 128:  # below one lane tile the kernel never applies — don't pad
+        return n
+    mult = 1024 if n >= 4096 else 128  # big dims: big blocks; waste <= ~11%
+    return ((n + mult - 1) // mult) * mult
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2, pad_cols: bool = False) -> dict:
     """Symmetric int8 quantization with max-abs scales over ``axis``.
 
     ``axis=-2`` (default) = per-output-channel for ``[..., in, out]`` linear
-    weights; ``axis=-1`` = per-row for ``[V, D]`` embeddings.
+    weights; ``axis=-1`` = per-row for ``[V, D]`` embeddings.  With
+    ``pad_cols`` (linear weights only) ``q``'s last axis is zero-padded to a
+    kernel-friendly multiple while ``s`` keeps the true out-dim.
 
     Memory discipline: |w| and max are exact in the stored dtype, so the
     scale needs no fp32 copy of ``w``; the fp32 rounding of big stacked
@@ -61,11 +76,20 @@ def quantize_weight(w: jnp.ndarray, axis: int = -2) -> dict:
         q = jax.lax.map(lambda ws: q_of(*ws), (w, s))
     else:
         q = q_of(w, s)
+    if pad_cols and axis == -2:
+        n = q.shape[-1]
+        np_ = _pad_cols_to(n)
+        if np_ != n:
+            widths = [(0, 0)] * (q.ndim - 1) + [(0, np_ - n)]
+            q = jnp.pad(q, widths)
     return {"q": q, "s": s.astype(w.dtype)}
 
 
 def dequantize_weight(d: dict) -> jnp.ndarray:
-    return (d["q"].astype(jnp.float32) * d["s"].astype(jnp.float32)).astype(d["s"].dtype)
+    q, s = d["q"], d["s"]
+    if s.shape[-1] > 1:  # linear form: s carries the true (unpadded) out-dim
+        q = q[..., : s.shape[-1]]
+    return (q.astype(jnp.float32) * s.astype(jnp.float32)).astype(s.dtype)
 
 
 def is_quantized(leaf: Any) -> bool:
@@ -98,6 +122,7 @@ def quantize_params(
     min_size: int = DEFAULT_MIN_SIZE,
     quantize_embed: bool = True,
     in_place: bool = False,
+    pad_cols: bool | None = None,
 ) -> Any:
     """Walk a param tree; replace large linear ``"w"`` (and optionally
     ``"embedding"``) arrays with int8 quantized dicts.  Everything else
@@ -107,7 +132,15 @@ def quantize_params(
     last reference (and its device buffer) as soon as it is quantized —
     required when the unquantized tree barely fits HBM (the 7B class on one
     16 GB chip): a functional copy would briefly hold both trees.
+
+    ``pad_cols`` (default: follow ``quant_matmul.KERNEL_DISPATCH``) zero-pads
+    linear out-dims for the Pallas kernel's tiling; pointless extra HBM when
+    the kernel dispatch is off.
     """
+    if pad_cols is None:
+        from dexbotic_tpu.ops.quant_matmul import KERNEL_DISPATCH
+
+        pad_cols = KERNEL_DISPATCH
 
     def rec(node, name=""):
         if isinstance(node, dict):
@@ -116,7 +149,7 @@ def quantize_params(
             for k in list(node):
                 v = node[k]
                 if k == "w" and not is_norm and _eligible(v, min_size):
-                    out[k] = quantize_weight(v, axis=-2)
+                    out[k] = quantize_weight(v, axis=-2, pad_cols=pad_cols)
                 elif k == "embedding" and quantize_embed and _eligible(v, min_size):
                     out[k] = quantize_weight(v, axis=-1)
                 else:

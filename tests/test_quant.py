@@ -155,3 +155,56 @@ def test_cogact_inference_quantized_close():
     e, q = np.asarray(exact).ravel(), np.asarray(quant).ravel()
     cos = float(np.dot(e, q) / (np.linalg.norm(e) * np.linalg.norm(q)))
     assert cos > 0.99, cos
+
+
+def test_quant_matmul_kernel_interpret():
+    """Pallas int8-weight matmul (interpret mode) == XLA dequant formulation."""
+    from dexbotic_tpu.ops.quant_matmul import (
+        quant_matmul,
+        quant_matmul_eligible,
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    M, K, N = 35, 256, 384  # M unaligned (pads to 48); K, N block-divisible
+    w = jax.random.normal(k1, (K, N), jnp.float32) * 0.05
+    d = quantize_weight(w)
+    x = jax.random.normal(k2, (M, K), jnp.float32)
+    assert quant_matmul_eligible(M, K, N)
+    ref = (x @ d["q"].astype(x.dtype)) * d["s"].astype(x.dtype)
+    out = quant_matmul(x, d["q"], d["s"], interpret=True)
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_quant_linear_fallback_and_eligibility():
+    from dexbotic_tpu.ops.quant_matmul import quant_linear, quant_matmul_eligible
+
+    # indivisible N -> not eligible -> XLA fallback path (still correct)
+    assert not quant_matmul_eligible(8, 256, 100)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    p = {"w": quantize_weight(jax.random.normal(k1, (64, 100)) * 0.05),
+         "b": jnp.ones((100,))}
+    x = jax.random.normal(k2, (2, 3, 64), jnp.float32)
+    out = quant_linear(p, x)
+    ref = (x @ p["w"]["q"].astype(x.dtype)) * p["w"]["s"].astype(x.dtype) + 1.0
+    assert out.shape == (2, 3, 100)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_quant_matmul_padded_weight():
+    """Out-dim padding at quantization time (kernel tiling) keeps numerics."""
+    from dexbotic_tpu.ops.quant_matmul import quant_linear
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    K, N = 128, 1100  # pads to the next 128 multiple
+    w = jax.random.normal(k1, (K, N), jnp.float32) * 0.05
+    d = quantize_weight(w, pad_cols=True)
+    assert d["q"].shape == (K, 1152) and d["s"].shape == (1, N)
+    assert np.asarray(d["q"][:, N:]).max() == 0
+    deq = dequantize_weight(d)
+    assert deq.shape == (K, N)
+
+    x = jax.random.normal(k2, (9, K), jnp.float32)
+    ref = (x @ d["q"][:, :N].astype(x.dtype)) * d["s"].astype(x.dtype)
+    out = quant_linear({"w": d}, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
