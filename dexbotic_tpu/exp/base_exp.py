@@ -289,6 +289,9 @@ class BaseExp:
     # 7B class on one 16 GB v5e chip.  TPU-native extension, no ref analogue.
     inference_quantize: str = ""
     inference_quantize_min_size: int = 1 << 16  # skip weights smaller than this
+    # >1 coalesces concurrent single-frame requests into one padded device
+    # call (exp/serve.py micro-batching; batched inference is ~3x at 1b)
+    serve_micro_batch: int = 0
 
     def prepare_inference_params(self, params):
         """Serving dtype policy: big tensors -> bf16 (scalars/1-D stay fp32),

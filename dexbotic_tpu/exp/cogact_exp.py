@@ -116,7 +116,8 @@ class CogActExp(base_exp.BaseExp):
 
         cfg, params, norms = self.load_for_inference()
         tokenizer = self.tokenizer.build_tokenizer()
-        server = CogActServer(self, cfg, params, tokenizer, norms)
+        server = CogActServer(self, cfg, params, tokenizer, norms,
+                              micro_batch=self.serve_micro_batch)
         server.run()
 
     def inference_single(self, image=None, prompt: str = "pick up the object"):

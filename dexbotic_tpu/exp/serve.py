@@ -125,10 +125,20 @@ class ActionServer:
 
     save_image_dir: when set, dumps each request's frames + response JSON
     under sequentially-numbered files (the reference's debug episode dumps,
-    exp/base_exp.py:715-735)."""
+    exp/base_exp.py:715-735).
+
+    micro_batch > 1 enables dynamic request coalescing (a TPU-native
+    extension; the reference serves strictly sequentially, Flask
+    threaded=False at base_exp.py:652-653): concurrent single-frame requests
+    arriving within ``micro_batch_window_ms`` of each other are padded to
+    one fixed batch shape and served by ONE device call — batched inference
+    measured ~3x the B=1 rate at 1b (BENCH_NOTES), and a fleet of robot
+    clients hits exactly this pattern.  Padding to the fixed ``micro_batch``
+    keeps the jitted program count at two shapes (B=1 and B=micro_batch)."""
 
     def __init__(self, host: str = "0.0.0.0", port: int = 7891,
-                 save_image_dir: str | None = None):
+                 save_image_dir: str | None = None,
+                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0):
         self.host, self.port = host, port
         self.save_image_dir = save_image_dir
         self._dump_idx = 0
@@ -138,6 +148,66 @@ class ActionServer:
         import threading
 
         self._lock = threading.Lock()
+        self.micro_batch = int(micro_batch)
+        self.micro_batch_window_ms = float(micro_batch_window_ms)
+        self.batched_calls = 0  # observability: coalesced device calls
+        self._mb_queue = None
+        if self.micro_batch > 1:
+            import queue
+
+            self._mb_queue = queue.Queue()
+            t = threading.Thread(target=self._micro_batch_worker, daemon=True)
+            t.start()
+
+    # ---- dynamic micro-batching ------------------------------------------
+
+    def get_batched_response(self, requests: list) -> list:
+        """Serve a list of coalesced single requests [(fields, files), ...].
+
+        Base implementation: sequential fallback (correct for any server);
+        CogActServer overrides with a true one-device-call batch."""
+        return [self.get_response(f, fl) for f, fl in requests]
+
+    def _micro_batch_worker(self):
+        import queue
+
+        window = self.micro_batch_window_ms / 1e3
+        while True:
+            batch = [self._mb_queue.get()]
+            deadline = time.monotonic() + window
+            while len(batch) < self.micro_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._mb_queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            with self._lock:
+                try:
+                    if len(batch) > 1:
+                        self.batched_calls += 1
+                    results = self.get_batched_response(
+                        [(b["fields"], b["files"]) for b in batch]
+                    )
+                    for b, r in zip(batch, results):
+                        self._maybe_dump(b["fields"], b["files"], r)
+                        b["result"] = r
+                except Exception as e:  # noqa: BLE001
+                    for b in batch:
+                        b["error"] = e
+            for b in batch:
+                b["event"].set()
+
+    def _submit_single(self, fields, files):
+        import threading
+
+        box = {"fields": fields, "files": files, "event": threading.Event()}
+        self._mb_queue.put(box)
+        assert box["event"].wait(timeout=120), "micro-batch worker timed out"
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
 
     def _maybe_dump(self, fields, files, result):
         if not self.save_image_dir:
@@ -167,9 +237,13 @@ class ActionServer:
                 t0 = time.monotonic()
                 try:
                     fields, files = parse_multipart(dict(self.headers), body)
-                    with server_self._lock:
-                        result = server_self.get_response(fields, files)
-                        server_self._maybe_dump(fields, files, result)
+                    single = int(fields.get("batch_size", 1)) == 1
+                    if server_self._mb_queue is not None and single:
+                        result = server_self._submit_single(fields, files)
+                    else:
+                        with server_self._lock:
+                            result = server_self.get_response(fields, files)
+                            server_self._maybe_dump(fields, files, result)
                     payload = json.dumps(result).encode()
                     self.send_response(200)
                 except Exception as e:  # noqa: BLE001
@@ -201,8 +275,10 @@ class ActionServer:
 
 
 class CogActServer(ActionServer):
-    def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891):
-        super().__init__(host, port)
+    def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891,
+                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0):
+        super().__init__(host, port, micro_batch=micro_batch,
+                         micro_batch_window_ms=micro_batch_window_ms)
         self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
         self.infer = exp.make_infer_fn(cfg, params)
         self.rng = jax.random.PRNGKey(0)
@@ -221,6 +297,54 @@ class CogActServer(ActionServer):
                 cache[prompt] = ids
         return ids
 
+    def _denorm(self, out: np.ndarray) -> np.ndarray:
+        if self.norms is None:
+            return out
+        # numpy denorm: same math as denorm_actions (models/cogact.py)
+        # without a jax dispatch on a [B, chunk, dim] host array
+        lo = np.asarray(self.norms["min"], np.float64)
+        hi = np.asarray(self.norms["max"], np.float64)
+        a = np.clip(out[..., : len(lo)], -1.0, 1.0)
+        return np.concatenate(
+            [lo + (a + 1.0) * 0.5 * (hi - lo), out[..., len(lo):]], axis=-1
+        )
+
+    def _infer_rows(self, prompts, payload_groups, pad_to=None):
+        """Run one batched device call over B rows (prompt + view-group each).
+
+        ``pad_to`` pads the batch by repeating row 0 so coalesced dynamic
+        batches reuse ONE compiled shape; padded rows are sliced off."""
+        B = len(prompts)
+        Bp = max(pad_to or B, B)
+        if Bp > B:
+            prompts = list(prompts) + [prompts[0]] * (Bp - B)
+            payload_groups = list(payload_groups) + [payload_groups[0]] * (Bp - B)
+        per = len(payload_groups[0])
+        assert all(len(g) == per for g in payload_groups), "ragged view groups"
+
+        rows = [self._prompt_ids(p) for p in prompts]
+        L = max(len(r) for r in rows)
+        ids_np = np.zeros((Bp, L), np.int32)
+        valid_np = np.zeros((Bp, L), np.int32)
+        for b, r in enumerate(rows):
+            ids_np[b, : len(r)] = r
+            valid_np[b, : len(r)] = 1
+
+        proc = self.exp.data.build_image_processor()
+        flat = _cogact_images(
+            [p for g in payload_groups for p in g], proc
+        )  # [Bp*per, size, size, 3]
+        imgs_np = flat.reshape(Bp, per, *flat.shape[1:])
+        self.rng, r = jax.random.split(self.rng)
+        out = np.asarray(
+            jax.device_get(
+                self.infer(
+                    jnp.asarray(ids_np), jnp.asarray(valid_np), jnp.asarray(imgs_np), r
+                )
+            )
+        )
+        return self._denorm(out)[:B]
+
     def get_response(self, fields, files):
         """Single or batched requests: with 'batch_size'=B the posted images
         are B view-groups in order and 'text' may carry B semicolon-separated
@@ -235,36 +359,26 @@ class CogActServer(ActionServer):
             f"{len(payloads)} images not divisible by batch_size {B}"
         )
         per = len(payloads) // B
-
-        rows = [self._prompt_ids(p) for p in prompts]
-        L = max(len(r) for r in rows)
-        ids_np = np.zeros((B, L), np.int32)
-        valid_np = np.zeros((B, L), np.int32)
-        for b, r in enumerate(rows):
-            ids_np[b, : len(r)] = r
-            valid_np[b, : len(r)] = 1
-
-        proc = self.exp.data.build_image_processor()
-        flat = _cogact_images(payloads, proc)  # [B*per, size, size, 3]
-        imgs_np = flat.reshape(B, per, *flat.shape[1:])
-        self.rng, r = jax.random.split(self.rng)
-        out = np.asarray(
-            jax.device_get(
-                self.infer(
-                    jnp.asarray(ids_np), jnp.asarray(valid_np), jnp.asarray(imgs_np), r
-                )
-            )
-        )
-        if self.norms is not None:
-            # numpy denorm: same math as denorm_actions (models/cogact.py)
-            # without a jax dispatch on a [B, chunk, dim] host array
-            lo = np.asarray(self.norms["min"], np.float64)
-            hi = np.asarray(self.norms["max"], np.float64)
-            a = np.clip(out[..., : len(lo)], -1.0, 1.0)
-            out = np.concatenate(
-                [lo + (a + 1.0) * 0.5 * (hi - lo), out[..., len(lo):]], axis=-1
-            )
+        groups = [payloads[i * per : (i + 1) * per] for i in range(B)]
+        out = self._infer_rows(prompts, groups)
         return out[0].tolist() if B == 1 else out.tolist()
+
+    def get_batched_response(self, requests):
+        """Coalesced single requests -> one padded device call per view-count
+        group (static shapes: the batch pads to micro_batch)."""
+        results = [None] * len(requests)
+        by_per: dict = {}
+        for i, (fields, files) in enumerate(requests):
+            payloads = [p for _, p in files]
+            by_per.setdefault(len(payloads), []).append((i, fields, payloads))
+        for per, items in by_per.items():
+            prompts = [f.get("text", "") for _, f, _ in items]
+            groups = [g for _, _, g in items]
+            pad_to = self.micro_batch if len(items) > 1 else None
+            out = self._infer_rows(prompts, groups, pad_to=pad_to)
+            for k, (i, _, _) in enumerate(items):
+                results[i] = out[k].tolist()
+        return results
 
 
 class MUVLAServer(ActionServer):

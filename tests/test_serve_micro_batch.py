@@ -1,0 +1,93 @@
+"""Dynamic request micro-batching (exp/serve.py).
+
+Concurrent single-frame /process_frame requests arriving within the window
+are coalesced into ONE padded device call; every client still gets its own
+action chunk.  TPU-native serving extension (the reference serves strictly
+sequentially, Flask threaded=False at base_exp.py:652-653).
+"""
+
+import concurrent.futures
+import io
+import json
+import urllib.request
+
+import numpy as np
+from PIL import Image
+
+from dexbotic_tpu.exp import base_exp
+from dexbotic_tpu.exp.cogact_exp import CogActExp, CogActModelConfig
+from dexbotic_tpu.exp.serve import CogActServer
+
+
+def _make_server(micro_batch):
+    exp = CogActExp(
+        model=CogActModelConfig(
+            llm_preset="test", vit_preset="test", action_model_type="DiT-S",
+            action_dim=7, chunk_size=4,
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        data=base_exp.DataConfig(image_processor="28", aug_policy="identity"),
+    )
+    cfg, params, norms = exp.load_for_inference()
+    tokenizer = exp.tokenizer.build_tokenizer()
+    return CogActServer(
+        exp, cfg, params, tokenizer, norms, host="127.0.0.1", port=0,
+        micro_batch=micro_batch, micro_batch_window_ms=200.0,
+    )
+
+
+def _post(port, prompt, color):
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 48), color).save(buf, "PNG")
+    boundary = "XBX"
+    parts = [
+        (f"--{boundary}\r\nContent-Disposition: form-data; name=\"text\"\r\n\r\n"
+         f"{prompt}\r\n").encode(),
+        (f"--{boundary}\r\nContent-Disposition: form-data; name=\"im\"; "
+         f"filename=\"f.png\"\r\nContent-Type: image/png\r\n\r\n").encode()
+        + buf.getvalue() + b"\r\n",
+    ]
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/process_frame", data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return np.asarray(json.loads(r.read()))
+
+
+def test_concurrent_singles_coalesce_into_one_device_call():
+    server = _make_server(micro_batch=4)
+    httpd = server.serve_background()
+    port = httpd.server_address[1]
+    try:
+        # warm the compile with one request so the concurrent burst lands
+        # inside one window instead of queueing behind a first-compile
+        a0 = _post(port, "warm up", (1, 2, 3))
+        assert a0.shape == (4, 7)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [
+                ex.submit(_post, port, f"task {i}", (40 * i, 90, 10))
+                for i in range(4)
+            ]
+            outs = [f.result() for f in futs]
+        for a in outs:
+            assert a.shape == (4, 7)
+            assert np.isfinite(a).all()
+        assert server.batched_calls >= 1, "no request coalescing happened"
+    finally:
+        httpd.shutdown()
+
+
+def test_micro_batch_off_still_serves():
+    server = _make_server(micro_batch=0)
+    assert server._mb_queue is None
+    httpd = server.serve_background()
+    port = httpd.server_address[1]
+    try:
+        a = _post(port, "plain path", (9, 9, 9))
+        assert a.shape == (4, 7) and np.isfinite(a).all()
+        assert server.batched_calls == 0
+    finally:
+        httpd.shutdown()
