@@ -190,7 +190,8 @@ class Pi0Exp(base_exp.BaseExp):
 
         cfg, params, norms = self.load_for_inference()
         tokenizer = self.tokenizer.build_tokenizer()
-        FlowVLAServer(self, cfg, params, tokenizer, norms).run()
+        FlowVLAServer(self, cfg, params, tokenizer, norms,
+                      micro_batch=self.serve_micro_batch).run()
 
     def inference_single(self, images=None, prompt: str = "pick up the object",
                           states=None):

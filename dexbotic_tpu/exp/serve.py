@@ -138,7 +138,8 @@ class ActionServer:
 
     def __init__(self, host: str = "0.0.0.0", port: int = 7891,
                  save_image_dir: str | None = None,
-                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0):
+                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0,
+                 micro_batch_timeout_s: float = 900.0):
         self.host, self.port = host, port
         self.save_image_dir = save_image_dir
         self._dump_idx = 0
@@ -150,6 +151,9 @@ class ActionServer:
         self._lock = threading.Lock()
         self.micro_batch = int(micro_batch)
         self.micro_batch_window_ms = float(micro_batch_window_ms)
+        # generous: the FIRST request blocks on the jit compile (minutes on
+        # some toolchains); later requests are at inference latency
+        self.micro_batch_timeout_s = float(micro_batch_timeout_s)
         self.batched_calls = 0  # observability: coalesced device calls
         self._mb_queue = None
         if self.micro_batch > 1:
@@ -204,7 +208,11 @@ class ActionServer:
 
         box = {"fields": fields, "files": files, "event": threading.Event()}
         self._mb_queue.put(box)
-        assert box["event"].wait(timeout=120), "micro-batch worker timed out"
+        if not box["event"].wait(timeout=self.micro_batch_timeout_s):
+            raise TimeoutError(
+                f"micro-batch worker exceeded {self.micro_batch_timeout_s}s "
+                "(first request includes the jit compile)"
+            )
         if "error" in box:
             raise box["error"]
         return box["result"]
@@ -425,12 +433,74 @@ class FlowVLAServer(ActionServer):
     """pi0/pi0.5/DM0 serving: multi-view form posts with states; batched
     requests supported via 'batch_size' (exp/pi0_exp.py:343-514 surface)."""
 
-    def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891):
-        super().__init__(host, port)
+    def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891,
+                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0):
+        super().__init__(host, port, micro_batch=micro_batch,
+                         micro_batch_window_ms=micro_batch_window_ms)
         self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
         self.infer = exp.make_infer_fn(cfg, params)
         self.rng = jax.random.PRNGKey(0)
         self.num_images = exp.data.num_images
+        self._prompt_cache: dict = {}
+
+    def _prompt_ids(self, prompt: str) -> np.ndarray:
+        ids = self._prompt_cache.get(prompt)
+        if ids is None:
+            tok = self.exp.build_tokenization(self.tokenizer)
+            out = tok(conversations=[{"from": "human", "value": prompt}])
+            ids = np.asarray(out["input_ids"], np.int32)
+            if len(self._prompt_cache) < 1024:
+                self._prompt_cache[prompt] = ids
+        return ids
+
+    @staticmethod
+    def _parse_state(row: str | None, dim: int) -> np.ndarray:
+        s = np.zeros((dim,), np.float32)
+        if row:
+            vals = np.asarray([float(x) for x in row.split(",")], np.float32)
+            s[: len(vals)] = vals
+        return s
+
+    def _infer_rows(self, prompts, payload_groups, state_rows, pad_to=None):
+        """One batched device call over B rows (prompt + views + state each);
+        ``pad_to`` pads by repeating row 0 (fixed compiled shape), padded
+        rows sliced off."""
+        B = len(prompts)
+        Bp = max(pad_to or B, B)
+        if Bp > B:
+            prompts = list(prompts) + [prompts[0]] * (Bp - B)
+            payload_groups = list(payload_groups) + [payload_groups[0]] * (Bp - B)
+            state_rows = list(state_rows) + [state_rows[0]] * (Bp - B)
+        per = len(payload_groups[0])
+        assert all(len(g) == per for g in payload_groups), "ragged view groups"
+
+        rows = [self._prompt_ids(p) for p in prompts]
+        L = max(len(r) for r in rows)
+        ids_np = np.zeros((Bp, L), np.int32)
+        for b, r in enumerate(rows):
+            ids_np[b, : len(r)] = r
+        ids = jnp.asarray(ids_np)
+        text_mask = (ids != 0).astype(jnp.int32)
+
+        proc = self.exp.data.build_image_processor()
+        images_np = np.zeros((Bp, self.num_images, proc.size, proc.size, 3), np.float32)
+        masks_np = np.zeros((Bp, self.num_images), np.int32)
+        keep = min(per, self.num_images)
+        frames, order = _decode_frames([p for g in payload_groups for p in g])
+        flat = preprocess_images_batch(frames, proc, channel_order=order)
+        for b in range(Bp):
+            images_np[b, :keep] = flat[b * per : b * per + keep]
+            masks_np[b, :keep] = 1
+
+        states_arr = jnp.asarray(np.stack(state_rows))
+        self.rng, r = jax.random.split(self.rng)
+        raw = np.asarray(
+            jax.device_get(
+                self.infer(ids, text_mask, jnp.asarray(images_np),
+                           jnp.asarray(masks_np), states_arr, r)
+            )
+        )
+        return [self._postprocess(raw[b], state_rows[b]) for b in range(B)]
 
     def get_response(self, fields, files):
         """Single or batched requests: with 'batch_size'=B, the posted images
@@ -438,48 +508,42 @@ class FlowVLAServer(ActionServer):
         'states' carries B semicolon-separated vectors."""
         prompt = fields.get("text", "")
         B = int(fields.get("batch_size", 1))
-        tok = self.exp.build_tokenization(self.tokenizer)
-        out = tok(conversations=[{"from": "human", "value": prompt}])
-        ids = jnp.tile(jnp.asarray(out["input_ids"], jnp.int32)[None], (B, 1))
-        text_mask = (ids != 0).astype(jnp.int32)
-
-        proc = self.exp.data.build_image_processor()
         payloads = [p for _, p in files]
         assert len(payloads) % B == 0, (
             f"{len(payloads)} images not divisible by batch_size {B}"
         )
         per = len(payloads) // B
-        images_np = np.zeros((B, self.num_images, proc.size, proc.size, 3), np.float32)
-        masks_np = np.zeros((B, self.num_images), np.int32)
-        keep = min(per, self.num_images)
-        frames, order = _decode_frames(payloads)
-        flat = preprocess_images_batch(frames, proc, channel_order=order)
-        for b in range(B):
-            images_np[b, :keep] = flat[b * per : b * per + keep]
-            masks_np[b, :keep] = 1
-        images = jnp.asarray(images_np)
-        image_masks = jnp.asarray(masks_np)
-
-        states = fields.get("states")
-        dim = self.cfg.action_dim
-        s = np.zeros((B, dim), np.float32)
-        if states:
-            rows = states.split(";")
-            for b, row in enumerate(rows[:B]):
-                vals = np.asarray([float(x) for x in row.split(",")], np.float32)
-                s[b, : len(vals)] = vals
-        states_arr = jnp.asarray(s)
-
-        self.rng, r = jax.random.split(self.rng)
-        raw = np.asarray(
-            jax.device_get(
-                self.infer(ids, text_mask, images, image_masks, states_arr, r)
-            )
-        )
-        results = []
-        for b in range(B):
-            results.append(self._postprocess(raw[b], np.asarray(states_arr)[b]))
+        groups = [payloads[i * per : (i + 1) * per] for i in range(B)]
+        state_strs = (fields.get("states") or "").split(";")
+        state_rows = [
+            self._parse_state(state_strs[b] if b < len(state_strs) else None,
+                              self.cfg.action_dim)
+            for b in range(B)
+        ]
+        results = self._infer_rows([prompt] * B, groups, state_rows)
         return results[0] if B == 1 else results
+
+    def get_batched_response(self, requests):
+        """Coalesced single requests -> one padded device call per view-count
+        group; each request keeps its own prompt and state."""
+        results = [None] * len(requests)
+        by_per: dict = {}
+        for i, (fields, files) in enumerate(requests):
+            payloads = [p for _, p in files]
+            by_per.setdefault(len(payloads), []).append((i, fields, payloads))
+        for per, items in by_per.items():
+            prompts = [f.get("text", "") for _, f, _ in items]
+            groups = [g for _, _, g in items]
+            state_rows = [
+                self._parse_state((f.get("states") or "").split(";")[0],
+                                  self.cfg.action_dim)
+                for _, f, _ in items
+            ]
+            pad_to = self.micro_batch if len(items) > 1 else None
+            out = self._infer_rows(prompts, groups, state_rows, pad_to=pad_to)
+            for k, (i, _, _) in enumerate(items):
+                results[i] = out[k]
+        return results
 
     def _postprocess(self, out, state_row):
         if self.norms is not None:

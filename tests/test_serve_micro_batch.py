@@ -91,3 +91,74 @@ def test_micro_batch_off_still_serves():
         assert server.batched_calls == 0
     finally:
         httpd.shutdown()
+
+
+def test_flow_server_micro_batch_coalesces():
+    """FlowVLAServer path: per-request prompts + states coalesce correctly."""
+    import dataclasses
+
+    from dexbotic_tpu.exp.pi0_exp import FlowModelConfig, Pi0Exp
+    from dexbotic_tpu.exp.serve import FlowVLAServer
+
+    exp = Pi0Exp(
+        model=FlowModelConfig(
+            llm_preset="test", expert_preset="test", vit_preset="test",
+            action_dim=8, chunk_size=5,
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=48),
+    )
+    exp.data = dataclasses.replace(
+        exp.data, num_images=2, image_processor="28", aug_policy="identity"
+    )
+    cfg, params, norms = exp.load_for_inference()
+    tokenizer = exp.tokenizer.build_tokenizer()
+    server = FlowVLAServer(
+        exp, cfg, params, tokenizer, norms, host="127.0.0.1", port=0,
+        micro_batch=3, micro_batch_window_ms=200.0,
+    )
+    httpd = server.serve_background()
+    port = httpd.server_address[1]
+    try:
+        a0 = _post(port, "warm up", (5, 5, 5))
+        assert a0.shape == (5, 7)  # inference_cfg.action_dim_out trims padding dims
+        with concurrent.futures.ThreadPoolExecutor(max_workers=3) as ex:
+            futs = [
+                ex.submit(_post, port, f"go to {i}", (30 * i, 60, 20))
+                for i in range(3)
+            ]
+            outs = [f.result() for f in futs]
+        for a in outs:
+            assert a.shape == (5, 7) and np.isfinite(a).all()
+        assert server.batched_calls >= 1
+
+        # explicit batch_size request bypasses the coalescer (refactored
+        # get_response path): 2 rows x 1 view, semicolon states
+        boundary = "XBX"
+        parts = [
+            (f"--{boundary}\r\nContent-Disposition: form-data; name=\"text\""
+             "\r\n\r\ngo to the door\r\n").encode(),
+            (f"--{boundary}\r\nContent-Disposition: form-data; "
+             "name=\"batch_size\"\r\n\r\n2\r\n").encode(),
+            (f"--{boundary}\r\nContent-Disposition: form-data; name=\"states\""
+             "\r\n\r\n0.1,0.2;0.3,0.4\r\n").encode(),
+        ]
+        for i in range(2):
+            buf = io.BytesIO()
+            Image.new("RGB", (64, 48), (i * 50, 10, 10)).save(buf, "PNG")
+            parts.append(
+                (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f"name=\"im{i}\"; filename=\"f{i}.png\"\r\n"
+                 "Content-Type: image/png\r\n\r\n").encode()
+                + buf.getvalue() + b"\r\n"
+            )
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/process_frame", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            batched = np.asarray(json.loads(r.read()))
+        assert batched.shape == (2, 5, 7) and np.isfinite(batched).all()
+    finally:
+        httpd.shutdown()
