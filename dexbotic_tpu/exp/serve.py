@@ -194,6 +194,10 @@ class ActionServer:
                     results = self.get_batched_response(
                         [(b["fields"], b["files"]) for b in batch]
                     )
+                    assert len(results) == len(batch), (
+                        f"get_batched_response returned {len(results)} results "
+                        f"for {len(batch)} requests"
+                    )
                     for b, r in zip(batch, results):
                         self._maybe_dump(b["fields"], b["files"], r)
                         b["result"] = r
