@@ -5,14 +5,25 @@ inference fused into ONE jitted program, in action chunks/sec/chip.
 BENCH_MODEL=cogact (default): ViT + LLM prefill + DDIM-10 with CFG.
 BENCH_MODEL=pi0: 3-view SigLIP + PaliGemma-class prefill + 10 Euler steps
 against the frozen prefix KV cache.
+BENCH_MODEL=oft: OFT-L1 single-forward regression head.
+
+Timing integrity (round-3 fix, VERDICT r2): EVERY input of the timed scan
+body — params, ids, masks, images — is tied to the per-iteration rng via
+``jax.lax.optimization_barrier``.  Without this XLA hoists the
+loop-invariant ViT encode + LLM prefill out of the 20-iteration scan and
+the "throughput" times only the rng-dependent sampler (round-2 headline
+numbers implied up to 8x the chip's peak FLOP/s).  As a harness self-check
+we compute analytic matmul FLOPs per chunk from the config and ASSERT the
+implied TFLOP/s is below the chip's peak before printing; the achieved
+TFLOP/s and MFU are printed next to chunks/s so inflation is visible.
 
 The reference publishes no throughput numbers (SURVEY.md §6); the baseline
 used for `vs_baseline` is a measured-estimate of the reference's PyTorch
 CogACT serving rate on A100 (~7 chunks/s for the 7B model: sequential ViT +
 prefill + 10 separate DiT launches).  We scale that estimate to the model
-size benched here; see BENCH_NOTES below.
+size benched here; see BENCH_NOTES.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -23,13 +34,18 @@ import time
 
 import numpy as np
 
-# "2b-class" default: large enough to exercise the MXU, small enough to
+# "1b-class" default: large enough to exercise the MXU, small enough to
 # compile fast through the axon tunnel.  Override with BENCH_SCALE=7b later.
 SCALE = os.environ.get("BENCH_SCALE", "1b")
 
 # BENCH_QUANT=int8: weight-only int8 serving (ops/quant.py).  Halves weight
 # HBM traffic vs bf16 and fits the 7B class on one 16 GB v5e chip.
 QUANT = os.environ.get("BENCH_QUANT", "")
+
+# v5e nominal peak (bf16 MXU).  Weight-only int8 still computes in bf16
+# (XLA materializes dequantized operands; see BENCH_NOTES int8 study), so
+# the bf16 roof applies to every mode benched here.
+V5E_PEAK_TFLOPS = 197.0
 
 
 def _build_params(init_fn):
@@ -68,21 +84,81 @@ def _qtag() -> str:
     return f"_{QUANT}" if QUANT else ""
 
 
-def _fresh_params(params, r):
-    """Inside the timing scan, tie params to the loop-varying rng via an
-    optimization barrier when benching quantized weights: otherwise XLA
-    hoists the loop-invariant int8->bf16 dequant converts out of the scan,
-    materializing a full bf16 weight copy (OOM at 7b — and unrepresentative:
-    real serving dispatches per request, so dequant streams per matmul)."""
-    if not QUANT:
-        return params, r
+def _tie(r, *vals):
+    """Tie EVERY input of the timed body to the loop-varying rng via an
+    optimization barrier.  This prevents two hoists that corrupt timing:
+      * the loop-invariant ViT encode + LLM prefill moving out of the scan
+        (they don't depend on the rng), leaving only the sampler timed —
+        the round-2 failure mode; and
+      * (quantized runs) the int8->bf16 dequant converts being hoisted and
+        materialized as a full bf16 weight copy (OOM at 7b, and
+        unrepresentative of per-request serving).
+    Returns (rng, vals...) with the same values, opaque to the optimizer."""
     import jax
 
-    return jax.lax.optimization_barrier((params, r))
+    out = jax.lax.optimization_barrier((r, *vals))
+    return out[0], list(out[1:])
+
+
+# ---------------------------------------------------------------------------
+# Analytic FLOPs (matmul terms only) — used for the roofline self-check and
+# the achieved-TFLOP/s report.  2*P*T for parameter matmuls (P excludes
+# embedding lookups) + 4*T*KV*D_attn*L for attention score/AV products.
+# Slight undercount (no norms/softmax) — conservative for the assert.
+# ---------------------------------------------------------------------------
+
+
+def _n_params(tree, exclude=()):
+    import jax
+
+    flat = {"/".join(str(k) for k in path): leaf.size
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
+    total = 0
+    for name, size in flat.items():
+        if any(e in name for e in exclude):
+            continue
+        total += size
+    return total
+
+
+def _attn_flops(tokens, kv_tokens, d_attn, layers):
+    return 4.0 * tokens * kv_tokens * d_attn * layers
+
+
+def _llm_nonembed(params_llm, cfg_llm):
+    # tied embedding is a lookup at the input and unused as lm_head here
+    p = _n_params(params_llm, exclude=("embed", "lm_head"))
+    return p
+
+
+def check_and_report(metric, B, dt, flops_per_chunk, baseline):
+    """Roofline self-check + single-line JSON report.
+
+    dt: seconds per scan iteration (one chunk batch of B)."""
+    chunks_per_sec = B / dt
+    tflops = flops_per_chunk * chunks_per_sec / 1e12
+    mfu = tflops / V5E_PEAK_TFLOPS
+    assert tflops < V5E_PEAK_TFLOPS, (
+        f"IMPOSSIBLE measurement: {chunks_per_sec:.1f} chunks/s x "
+        f"{flops_per_chunk / 1e12:.3f} TFLOP/chunk implies {tflops:.0f} TFLOP/s "
+        f"> v5e peak {V5E_PEAK_TFLOPS} — the timing scan is being hoisted; "
+        f"refusing to print an inflated number."
+    )
+    print(json.dumps({
+        "metric": metric,
+        "value": round(chunks_per_sec, 3),
+        "unit": "chunks/s/chip",
+        "vs_baseline": round(chunks_per_sec / baseline, 3),
+        "achieved_tflops": round(tflops, 1),
+        "mfu": round(mfu, 3),
+        "tflop_per_chunk": round(flops_per_chunk / 1e12, 3),
+    }))
+
 
 # Estimated reference (PyTorch A100) chunk rates for comparable model sizes.
 # CogACT-7B serving measures ~100-150ms/chunk on A100 in the authors' stack;
-# smaller backbones scale roughly linearly in LLM FLOPs.
+# smaller backbones scale roughly linearly in LLM FLOPs.  ESTIMATE — the
+# reference publishes no throughput numbers (BASELINE.md).
 BASELINE_CHUNKS_PER_SEC = {"test": 200.0, "1b": 25.0, "2b": 15.0, "7b": 7.0}
 
 
@@ -164,6 +240,17 @@ def build_pi0(scale: str):
                       projector_type="linear")
 
 
+def _time_scan(f, *args, iters):
+    """Compile, warm, and time f(*args, iters); returns sec/iteration.
+    f must be a jitted scan whose LAST arg is the static iteration count
+    and whose return is a scalar (the pull forces completion — axon's
+    block_until_ready does not reliably block)."""
+    float(f(*args, iters))  # warmup/compile
+    t0 = time.perf_counter()
+    float(f(*args, iters))
+    return (time.perf_counter() - t0) / iters
+
+
 def main_pi0():
     import jax
     import jax.numpy as jnp
@@ -181,29 +268,40 @@ def main_pi0():
     states = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.action_dim), jnp.bfloat16)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    def bench_n(params, rng, n):
+    def bench_n(params, ids, tmask, imgs, imasks, states, rng, n):
         def body(carry, r):
-            p, r = _fresh_params(params, r)
-            out = flow_vla_inference_action(
-                p, cfg, ids, tmask, imgs, imasks, states, r
-            )
+            r, (p, i, tm, im, ms, st) = _tie(r, params, ids, tmask, imgs, imasks, states)
+            out = flow_vla_inference_action(p, cfg, i, tm, im, ms, st, r)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
         return acc
 
-    f = jax.jit(bench_n, static_argnums=(2,))
-    float(f(params, jax.random.PRNGKey(3), iters))
-    t0 = time.perf_counter()
-    float(f(params, jax.random.PRNGKey(4), iters))
-    dt = (time.perf_counter() - t0) / iters
+    f = jax.jit(bench_n, static_argnums=(7,))
+    dt = _time_scan(f, params, ids, tmask, imgs, imasks, states,
+                    jax.random.PRNGKey(3), iters=iters)
+
+    # analytic FLOPs/chunk: 3 ViT views + MoT prefix prefill + num_flow_steps
+    # Euler steps of the expert attending to the frozen prefix KV
+    n_img_tok = (size // cfg.vit.patch_size) ** 2
+    s_pre = 3 * n_img_tok + ids.shape[1]
+    t_suf = cfg.chunk_size + 2  # state + time/cond + chunk tokens
+    p_vit = _n_params(params["vlm"]["vit"])
+    p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.llm)
+    p_exp = _n_params(params["expert"])
+    d_llm = cfg.llm.num_heads * cfg.llm.head_dim
+    d_exp = cfg.expert.num_heads * cfg.expert.head_dim
+    flops = B * (
+        2.0 * p_vit * 3 * n_img_tok
+        + 2.0 * p_llm * s_pre + _attn_flops(s_pre, s_pre, d_llm, cfg.llm.num_layers)
+        + cfg.num_flow_steps * (
+            2.0 * p_exp * t_suf
+            + _attn_flops(t_suf, s_pre + t_suf, d_exp, cfg.expert.num_layers)
+        )
+    )
     baseline = {"test": 150.0, "1b": 20.0, "2b": 15.0, "7b": 12.0}.get(SCALE, 15.0)
-    print(json.dumps({
-        "metric": f"pi0_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
-        "value": round(B / dt, 3),
-        "unit": "chunks/s/chip",
-        "vs_baseline": round(B / dt / baseline, 3),
-    }))
+    check_and_report(f"pi0_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
+                     B, dt, flops / B, baseline)
 
 
 def main_oft():
@@ -232,25 +330,28 @@ def main_oft():
 
     def bench_n(params, ids, valid, imgs, rng, n):
         def body(carry, r):
-            p, r = _fresh_params(params, r)
-            out = oft_inference_action(p, cfg, ids, valid, imgs, rng=r)
+            r, (p, i, v, im) = _tie(r, params, ids, valid, imgs)
+            out = oft_inference_action(p, cfg, i, v, im, rng=r)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
         return acc
 
     f = jax.jit(bench_n, static_argnums=(5,))
-    float(f(params, ids, valid, imgs, jax.random.PRNGKey(2), iters))
-    t0 = time.perf_counter()
-    float(f(params, ids, valid, imgs, jax.random.PRNGKey(3), iters))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time_scan(f, params, ids, valid, imgs, jax.random.PRNGKey(3), iters=iters)
+
+    # analytic FLOPs/chunk: ViT + one LLM pass over prompt + action segment
+    s = ids.shape[1] + cfg.chunk_size + (1 if cfg.use_proprio else 0)
+    p_vit = _n_params(params["vlm"]["vit"])
+    p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.vlm.llm)
+    d_llm = cfg.vlm.llm.num_heads * cfg.vlm.llm.head_dim
+    flops = B * (
+        2.0 * p_vit * nt
+        + 2.0 * p_llm * s + _attn_flops(s, s, d_llm, cfg.vlm.llm.num_layers)
+    )
     baseline = {"test": 300.0, "1b": 40.0, "2b": 25.0, "7b": 14.0}.get(SCALE, 25.0)
-    print(json.dumps({
-        "metric": f"oft_l1_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
-        "value": round(B / dt, 3),
-        "unit": "chunks/s/chip",
-        "vs_baseline": round(B / dt / baseline, 3),
-    }))
+    check_and_report(f"oft_l1_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
+                     B, dt, flops / B, baseline)
 
 
 def main():
@@ -282,36 +383,33 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     def bench_n(params, ids, valid, imgs, rng, n):
-        import jax.numpy as jnp
-
         def body(carry, r):
-            p, r = _fresh_params(params, r)
-            out = cogact_inference_action(p, cfg, ids, valid, imgs, r)
+            r, (p, i, v, im) = _tie(r, params, ids, valid, imgs)
+            out = cogact_inference_action(p, cfg, i, v, im, r)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
         return acc
 
     f = jax.jit(bench_n, static_argnums=(5,))
-    # warmup (compile) with the same iteration count
-    float(f(params, ids, valid, imgs, jax.random.PRNGKey(2), iters))
-    t0 = time.perf_counter()
-    acc = f(params, ids, valid, imgs, jax.random.PRNGKey(3), iters)
-    acc = float(acc)  # scalar pull forces completion
-    dt = (time.perf_counter() - t0) / iters
-    chunks_per_sec = B / dt
+    dt = _time_scan(f, params, ids, valid, imgs, jax.random.PRNGKey(3), iters=iters)
 
-    baseline = BASELINE_CHUNKS_PER_SEC.get(SCALE, 7.0)
-    print(
-        json.dumps(
-            {
-                "metric": f"cogact_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
-                "value": round(chunks_per_sec, 3),
-                "unit": "chunks/s/chip",
-                "vs_baseline": round(chunks_per_sec / baseline, 3),
-            }
-        )
+    # analytic FLOPs/chunk: ViT + LLM prefill + ddim_steps x CFG-pair DiT
+    s = ids.shape[1]
+    p_vit = _n_params(params["vlm"]["vit"])
+    p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.vlm.llm)
+    p_dit = _n_params(params["action_head"])
+    d_llm = cfg.vlm.llm.num_heads * cfg.vlm.llm.head_dim
+    t_dit = cfg.chunk_size + 1  # chunk + conditioning token
+    cfg_mult = 2 if cfg.cfg_scale > 1.0 else 1
+    flops = B * (
+        2.0 * p_vit * nt
+        + 2.0 * p_llm * s + _attn_flops(s, s, d_llm, cfg.vlm.llm.num_layers)
+        + cfg.ddim_steps * cfg_mult * 2.0 * p_dit * t_dit
     )
+    baseline = BASELINE_CHUNKS_PER_SEC.get(SCALE, 7.0)
+    check_and_report(f"cogact_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
+                     B, dt, flops / B, baseline)
 
 
 if __name__ == "__main__":
