@@ -4,7 +4,10 @@ Builds csrc/fast_image.cpp on first use (g++, cached next to the source);
 falls back cleanly when no compiler is available — callers should use
 `preprocess_batch_fast` / `pad_preprocess_batch_fast`, which mirror
 `preprocess_image` / expand2square->processor semantics for batches of
-identically-sized uint8 frames (bilinear or cv2-parity bicubic).
+identically-sized uint8 frames (PIL/HF-processor-parity antialiased
+bilinear or bicubic; tests pin <=2 uint8 quanta vs PIL — do NOT
+reintroduce cv2-matching behavior, cv2 resize is not what HF processors
+do).
 """
 
 from __future__ import annotations

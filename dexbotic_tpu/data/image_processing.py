@@ -116,10 +116,11 @@ def preprocess_images_batch(
 ) -> np.ndarray:
     """Batch of identically-sized uint8 frames -> [B, size, size, 3] float32.
 
-    Uses the fused C++ kernel (csrc/fast_image.cpp, cv2-parity bilinear or
-    bicubic) when available and the frames share a shape; falls back to the
-    per-image cv2 path.  With pad_fill set, fuses a centered pad-to-square
-    (expand2square semantics) into the same pass — the serving image path."""
+    Uses the fused C++ kernel (csrc/fast_image.cpp, PIL/HF-processor-parity
+    antialiased resampling — tests pin <=2 uint8 quanta vs PIL) when
+    available and the frames share a shape; falls back to the per-image
+    path.  With pad_fill set, fuses a centered pad-to-square (expand2square
+    semantics) into the same pass — the serving image path."""
     arrs = [to_numpy_image(im) for im in images]
     native_ok = (
         use_native

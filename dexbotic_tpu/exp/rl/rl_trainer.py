@@ -349,8 +349,23 @@ class GRPOUpdater:
                 f"data-parallel size {d}"
             )
         n = batch["bins"].shape[0]
+        pad = (-n) % micro_batch_size
+        if pad:
+            # Pad the tail to a full micro-batch with zero-weight repeats so
+            # EVERY rollout contributes to the update (the old
+            # `range(0, n - mb + 1, ...)` silently dropped the tail: with
+            # n=12, mb=8, a third of the rollouts never updated the policy).
+            # Repeated rows get token_mask=0 and advantages=0, so the masked
+            # PPO means (grpo.py:ppo_clip_loss) ignore them exactly.
+            idx = jnp.arange(pad) % n
+            batch = {k: jnp.concatenate([v, jnp.take(v, idx, axis=0)], axis=0)
+                     for k, v in batch.items()}
+            real = (jnp.arange(n + pad) < n)[:, None]
+            for k in ("token_mask", "advantages"):
+                batch[k] = batch[k] * real.astype(batch[k].dtype)
+            n += pad
         all_metrics = []
-        for s in range(0, n - micro_batch_size + 1, micro_batch_size):
+        for s in range(0, n, micro_batch_size):
             mb = {k: v[s : s + micro_batch_size] for k, v in batch.items()}
             params, self.opt_state, metrics = self._step(params, self.opt_state, mb)
             all_metrics.append({k: float(v) for k, v in metrics.items()})

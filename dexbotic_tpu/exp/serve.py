@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import io
 import json
+import threading
 import time
 from email.parser import BytesParser
 from email.policy import HTTP
@@ -134,7 +135,9 @@ class ActionServer:
     one fixed batch shape and served by ONE device call — batched inference
     measured ~3x the B=1 rate at 1b (BENCH_NOTES), and a fleet of robot
     clients hits exactly this pattern.  Padding to the fixed ``micro_batch``
-    keeps the jitted program count at two shapes (B=1 and B=micro_batch)."""
+    bounds the batch dimension to two sizes (B=1 and B=micro_batch); token
+    length is padded to 64-wide buckets (_infer_rows), so the compiled-shape
+    count stays small even as distinct prompt lengths arrive."""
 
     def __init__(self, host: str = "0.0.0.0", port: int = 7891,
                  save_image_dir: str | None = None,
@@ -202,8 +205,19 @@ class ActionServer:
                         self._maybe_dump(b["fields"], b["files"], r)
                         b["result"] = r
                 except Exception as e:  # noqa: BLE001
-                    for b in batch:
-                        b["error"] = e
+                    if len(batch) == 1:
+                        batch[0]["error"] = e
+                    else:
+                        # One malformed request (corrupt image, bad 'states')
+                        # must not 500 every coalesced client: retry each
+                        # request individually so only the offender errors.
+                        for b in batch:
+                            try:
+                                r = self.get_response(b["fields"], b["files"])
+                                self._maybe_dump(b["fields"], b["files"], r)
+                                b["result"] = r
+                            except Exception as e_one:  # noqa: BLE001
+                                b["error"] = e_one
             for b in batch:
                 b["event"].set()
 
@@ -252,6 +266,13 @@ class ActionServer:
                     single = int(fields.get("batch_size", 1)) == 1
                     if server_self._mb_queue is not None and single:
                         result = server_self._submit_single(fields, files)
+                    elif getattr(server_self, "concurrent", False):
+                        # server synchronizes internally (continuous-batching
+                        # decode engine): requests must REACH it concurrently
+                        # for decode steps to coalesce
+                        result = server_self.get_response(fields, files)
+                        with server_self._lock:
+                            server_self._maybe_dump(fields, files, result)
                     else:
                         with server_self._lock:
                             result = server_self.get_response(fields, files)
@@ -335,7 +356,11 @@ class CogActServer(ActionServer):
         assert all(len(g) == per for g in payload_groups), "ragged view groups"
 
         rows = [self._prompt_ids(p) for p in prompts]
-        L = max(len(r) for r in rows)
+        # Bucket token length to multiples of 64: padding to the exact batch
+        # max would trigger a fresh XLA compile (minutes through the axon
+        # tunnel, with queued requests blocked on the lock) for every new
+        # max-L; bucketing bounds the compiled-shape count.
+        L = -(-max(len(r) for r in rows) // 64) * 64
         ids_np = np.zeros((Bp, L), np.int32)
         valid_np = np.zeros((Bp, L), np.int32)
         for b, r in enumerate(rows):
@@ -396,17 +421,44 @@ class CogActServer(ActionServer):
 class MUVLAServer(ActionServer):
     """Map-understanding VLA serving: first posted image is the MAP view,
     the rest are observation views (current + history); responds with the
-    generated action text (muvla_arch.py:609-682 AR path)."""
+    generated action text (muvla_arch.py:609-682 AR path).
+
+    ``continuous_batching`` > 0 serves the AR decode through the slot-based
+    ContinuousBatchingEngine (exp/decode_engine.py) instead of one fused
+    generate per request: concurrent requests coalesce at decode-step
+    granularity and the per-request fuse/prefill stays pipelined."""
 
     def __init__(self, exp, cfg, params, tokenizer, host="0.0.0.0", port=7891,
-                 max_new_tokens: int = 32):
+                 max_new_tokens: int = 32, continuous_batching: int = 0):
         super().__init__(host, port)
         self.exp, self.cfg, self.tokenizer = exp, cfg, tokenizer
         self.max_new_tokens = max_new_tokens
         self.gen = exp.make_generate_fn(cfg, params, max_new_tokens=max_new_tokens)
         self.rng = jax.random.PRNGKey(0)
+        self._rng_lock = threading.Lock()
+        self.engine = None
+        if continuous_batching > 0:
+            from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
+            from dexbotic_tpu.models.muvla import fuse_obs_with_history
+            from dexbotic_tpu.models.vlm import splice_image_embeds
 
-    def get_response(self, fields, files):
+            self.concurrent = True  # handler skips the global lock
+
+            @jax.jit
+            def _embeds(params, ids, map_img, obs_imgs):
+                tokens = fuse_obs_with_history(params, cfg, map_img, obs_imgs)
+                return splice_image_embeds(
+                    {"llm": params["llm"]}, cfg.vlm, ids, tokens
+                )
+
+            self._embed_fn = lambda ids, m, o: _embeds(params, ids, m, o)
+            self.engine = ContinuousBatchingEngine(
+                params, cfg.vlm, slots=continuous_batching,
+                max_new=max_new_tokens,
+                eos_token_id=getattr(tokenizer, "eos_token_id", 0) or 0,
+            )
+
+    def _prepare(self, fields, files):
         prompt = fields.get("text", "")
         payloads = [p for _, p in files]
         assert len(payloads) >= 2, "MUVLA needs a map view + >=1 obs view"
@@ -415,22 +467,34 @@ class MUVLAServer(ActionServer):
         obs_f, obs_o = _decode_frames(payloads[1:])
         map_img = jnp.asarray(preprocess_images_batch(map_f, proc, channel_order=map_o))
         obs = jnp.asarray(preprocess_images_batch(obs_f, proc, channel_order=obs_o))[None]
-        n_views = obs.shape[1]
-
-        nt = self.cfg.num_fused_tokens(n_views)
+        nt = self.cfg.num_fused_tokens(obs.shape[1])
         ids = tokenizer_image_token(
             f"<image>\n{prompt}", self.tokenizer, num_image_tokens=nt
         )
         input_ids = jnp.asarray(ids, jnp.int32)[None]
-        valid = jnp.ones(input_ids.shape, jnp.int32)
+        return input_ids, map_img, obs
 
-        self.rng, r = jax.random.split(self.rng)
-        tokens, _ = self.gen(input_ids, valid, map_img, obs, r)
-        toks = [int(t) for t in np.asarray(tokens)[0]]
+    def _decode_tokens(self, toks: list) -> dict:
         eos = getattr(self.tokenizer, "eos_token_id", 0) or 0
         if eos in toks:
             toks = toks[: toks.index(eos)]
         return {"text": self.tokenizer.decode(toks)}
+
+    def get_response(self, fields, files):
+        input_ids, map_img, obs = self._prepare(fields, files)
+        if self.engine is not None:
+            embeds = self._embed_fn(input_ids, map_img, obs)
+            toks = self.engine.submit(
+                np.asarray(input_ids)[0], embeds=np.asarray(embeds[0], np.float32),
+                max_new=self.max_new_tokens,
+            )
+            return self._decode_tokens(toks)
+        valid = jnp.ones(input_ids.shape, jnp.int32)
+        with self._rng_lock:
+            self.rng, r = jax.random.split(self.rng)
+        tokens, _ = self.gen(input_ids, valid, map_img, obs, r)
+        toks = [int(t) for t in np.asarray(tokens)[0]]
+        return self._decode_tokens(toks)
 
 
 class FlowVLAServer(ActionServer):
@@ -479,7 +543,11 @@ class FlowVLAServer(ActionServer):
         assert all(len(g) == per for g in payload_groups), "ragged view groups"
 
         rows = [self._prompt_ids(p) for p in prompts]
-        L = max(len(r) for r in rows)
+        # Bucket token length to multiples of 64: padding to the exact batch
+        # max would trigger a fresh XLA compile (minutes through the axon
+        # tunnel, with queued requests blocked on the lock) for every new
+        # max-L; bucketing bounds the compiled-shape count.
+        L = -(-max(len(r) for r in rows) // 64) * 64
         ids_np = np.zeros((Bp, L), np.int32)
         for b, r in enumerate(rows):
             ids_np[b, : len(r)] = r

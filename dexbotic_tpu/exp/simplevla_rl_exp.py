@@ -9,6 +9,7 @@ circular redistribution -> PPO-clip update with GRPO advantages.
 from __future__ import annotations
 
 import dataclasses
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -219,11 +220,18 @@ class SimpleVLARLExp(base_exp.BaseExp):
                     seeds, self.env, threaded=self.env.env_type != "mock",
                 )
                 rng, r = jax.random.split(rng)
+                # per-phase wall timers, the analogue of the reference's
+                # codetiming.Timer around gen/verify/filter
+                # (simplevla_rl_exp.py:602-660); reported as timing/<phase>_s
+                timing: dict = {}
+                t0 = time.perf_counter()
                 actor = self._make_actor(cfg, params, tokenizer)
                 buf = collect_rollouts(envs, actor, self.rollout, r, group_index=groups)
                 for e in envs:
                     e.close()
+                timing["gen"] = time.perf_counter() - t0
 
+                t0 = time.perf_counter()
                 buf = allgather_rollouts(
                     buf, pad_prompt_to=self.tokenizer.model_max_length
                 )
@@ -231,6 +239,7 @@ class SimpleVLARLExp(base_exp.BaseExp):
                 idx, new_groups = filter_and_redistribute(
                     buf, self.grpo, self.rollout, n_groups
                 )
+                timing["filter"] = time.perf_counter() - t0
                 # reorder episodes by the redistributed indices, then flatten
                 buf.obs = {k: v[idx] for k, v in buf.obs.items()}
                 buf.bins = buf.bins[idx]
@@ -246,8 +255,18 @@ class SimpleVLARLExp(base_exp.BaseExp):
                     flat, self.grpo, n_groups,
                     episode_success=buf.success, episode_group=buf.group_index,
                 )
+                t0 = time.perf_counter()
                 params, metrics = updater.update(params, batch, self.micro_batch_size)
+                timing["update"] = time.perf_counter() - t0
+                # aggregated RL metrics over the (already allgathered, hence
+                # globally identical) rollout set — reference all_reduces the
+                # same set (simplevla_rl_exp.py:1020)
                 metrics["success_rate"] = float(buf.success.mean())
+                metrics["truncated_frac"] = float(buf.truncated.mean())
+                metrics["num_rollouts"] = int(buf.success.shape[0])
+                metrics["mean_chunks_per_episode"] = float(buf.chunk_count.mean())
+                for k, v in timing.items():
+                    metrics[f"timing/{k}_s"] = round(v, 3)
                 metrics["epoch"] = epoch
                 metrics["step"] = step
                 history.append(metrics)

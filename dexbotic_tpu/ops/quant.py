@@ -45,7 +45,9 @@ def _pad_cols_to(n: int) -> int:
     true out-dim is recovered from the scale's last axis."""
     if n < 128:  # below one lane tile the kernel never applies — don't pad
         return n
-    mult = 1024 if n >= 4096 else 128  # big dims: big blocks; waste <= ~11%
+    # big dims: big blocks.  Worst case waste is just under 25% (n=4097 ->
+    # 5120); typical transformer dims (multiples of 256) waste far less.
+    mult = 1024 if n >= 4096 else 128
     return ((n + mult - 1) // mult) * mult
 
 

@@ -172,15 +172,18 @@ def convert_episode(
         obs = step["observation"]
         action = _to_numpy(step["action"]).astype(np.float64).ravel()
         images = {}
-        n = 0
-        for wkey, writer in writers.items():
+        # images_{n} slots are keyed by the view's FIXED position in the
+        # writer dict, not by per-step decode-success order: a camera that
+        # intermittently returns None must not shift the view-to-index
+        # mapping mid-episode (images_1 has to mean the same camera on every
+        # row of the jsonl).
+        for slot, (wkey, writer) in enumerate(writers.items(), start=1):
             _, obs_key = wkey.split(":", 1)
             frame = decode_frame(obs.get(obs_key))
             if frame is None:
                 continue
             idx = writer.append(frame)
-            n += 1
-            images[f"images_{n}"] = writer.frame_entry(idx)
+            images[f"images_{slot}"] = writer.frame_entry(idx)
         gripper = float(action[-1]) if action.size else 0.0
         lines.append({
             **images,
