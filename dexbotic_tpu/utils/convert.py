@@ -281,7 +281,15 @@ def convert_flow_vla(sd: dict, cfg) -> dict:
     llm = convert_llm(sd, cfg.llm, prefix="model.llm.")
     vit = convert_vit(sd, cfg.vit, prefix="model.mm_vision_tower.vision_tower.vision_model.")
     proj = convert_projector(sd, cfg.projector_type, prefix="model.mm_projector.")
-    expert = convert_llm(sd, cfg.expert, prefix="model.action_expert.")
+    # pi0/pi0.5 hold the expert as a bare decoder ('model.action_expert.');
+    # DM0 wraps it in Qwen3ForCausalLM, nesting one more '.model.'
+    # (dm0_arch.py:79-80: self.action_expert = Qwen3ForCausalLM(...))
+    expert_prefix = (
+        "model.action_expert.model."
+        if any(k.startswith("model.action_expert.model.layers.") for k in sd)
+        else "model.action_expert."
+    )
+    expert = convert_llm(sd, cfg.expert, prefix=expert_prefix)
     params = {
         "vlm": {"llm": llm, "vit": vit, "projector": proj},
         "expert": expert,
@@ -434,4 +442,70 @@ def convert_memvla(sd: dict, cfg) -> dict:
         "per_compr": per_compr,
         "mem_bank": bank,
         "action_head": dit,
+    }
+
+
+# ---------------------------------------------------------------------------
+# MUVLA (muvla/muvla_arch.py)
+# ---------------------------------------------------------------------------
+
+
+def _convert_torch_mha(sd: dict, prefix: str) -> dict:
+    """torch nn.MultiheadAttention (packed in_proj_weight/bias) -> our
+    _mha q/k/v/o layout (models/muvla.py:54-76)."""
+    sd = _strip(sd, prefix)
+    w = np.asarray(sd["in_proj_weight"])  # [3D, D]
+    b = np.asarray(sd["in_proj_bias"])
+    d = w.shape[1]
+
+    def part(i):
+        return {
+            "w": np.ascontiguousarray(w[i * d : (i + 1) * d].T),
+            "b": np.asarray(b[i * d : (i + 1) * d]),
+        }
+
+    return {
+        "q": part(0), "k": part(1), "v": part(2),
+        "o": {
+            "w": np.ascontiguousarray(np.asarray(sd["out_proj.weight"]).T),
+            "b": np.asarray(sd["out_proj.bias"]),
+        },
+    }
+
+
+def _ln(sd: dict, name: str) -> dict:
+    return {"w": np.asarray(sd[f"{name}.weight"]), "b": np.asarray(sd[f"{name}.bias"])}
+
+
+def convert_muvla_fuser(sd: dict, prefix: str = "model.fuser.") -> dict:
+    """CrossFuseReduce (muvla_arch.py:28-49; forward uses only cross_attn +
+    residual LayerNorm) -> our fuser params."""
+    sd = _strip(sd, prefix)
+    return {"attn": _convert_torch_mha(sd, "cross_attn."), "ln": _ln(sd, "ln")}
+
+
+def convert_muvla_qformer(sd: dict, prefix: str = "model.history_qformer.") -> dict:
+    """SimpleQFormer (muvla_arch.py:51-66) -> our qformer params."""
+    sd = _strip(sd, prefix)
+    return {
+        "queries": np.asarray(sd["query_embeddings"]),
+        "input_proj": _lin(sd, "input_proj"),
+        "attn": _convert_torch_mha(sd, "attn."),
+        "ln": _ln(sd, "norm"),
+    }
+
+
+def convert_muvla(sd: dict, cfg) -> dict:
+    """DB-MUVLA checkpoint -> our MUVLA params (dual towers + fuser +
+    history QFormer + reward head, muvla_arch.py:68-140,482)."""
+    llm = convert_llm(sd, cfg.vlm.llm, prefix="model.llm.")
+    llm = attach_lm_head(llm, sd, "lm_head.weight")
+    return {
+        "llm": llm,
+        "vit": convert_vit(sd, cfg.vlm.vit, prefix="model.mm_vision_tower.vision_tower.vision_model."),
+        "obs_vit": convert_vit(sd, cfg.obs_vit, prefix="model.obs_vision_tower.vision_tower.vision_model."),
+        "projector": convert_projector(sd, cfg.vlm.projector_type, prefix="model.mm_projector."),
+        "fuser": convert_muvla_fuser(sd),
+        "qformer": convert_muvla_qformer(sd),
+        "reward_head": {"w": np.ascontiguousarray(np.asarray(sd["reward_head.weight"]).T)},
     }

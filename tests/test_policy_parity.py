@@ -114,6 +114,14 @@ def _install_ref_env():
         df.schedulers, dfs.scheduling_ddim = dfs, dfd
         sys.modules.update({"diffusers": df, "diffusers.schedulers": dfs, "diffusers.schedulers.scheduling_ddim": dfd})
 
+    if "deepspeed" not in sys.modules:
+        # muvla_arch imports safe_get_full_fp32_param at module scope; the
+        # tested modules never call it
+        ds, dsu = _mod("deepspeed"), _mod("deepspeed.utils")
+        dsu.safe_get_full_fp32_param = lambda p: p.data
+        ds.utils = dsu
+        sys.modules.update({"deepspeed": ds, "deepspeed.utils": dsu})
+
     if "loguru" not in sys.modules:
         lg = _mod("loguru")
 
@@ -603,6 +611,177 @@ def test_memvla_bank_module_parity(ref_env):
     p = {"fc0": _lin(sd, "mlp.0"), "fc1": _lin(sd, "mlp.2")}
     out = timestep_embed(p, jnp.asarray(t))
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DM0 (Qwen3 pair: merged qk-norm attention, causal prefix, time-fused suffix;
+# /root/reference/dexbotic/model/dm0/dm0_arch.py:108-268,514-641)
+# ---------------------------------------------------------------------------
+
+
+def test_dm0_full_policy_parity(ref_env, siglip_dir):
+    import dataclasses
+
+    from transformers import Qwen3Config
+
+    from dexbotic.model.dm0 import dm0_arch
+
+    from dexbotic_tpu.models.flow_vla import dm0_config, flow_vla_inference_action
+    from dexbotic_tpu.utils.convert import convert_flow_vla
+
+    dm0_arch.DynamicCache = CompatCache
+    llm_cfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=128, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attention_dropout=0.0, tie_word_embeddings=True,
+    )
+    exp_cfg = Qwen3Config(
+        vocab_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=64, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attention_dropout=0.0,
+    )
+    cfg_r = dm0_arch.DM0Config(
+        llm_config=llm_cfg, mm_vision_tower=siglip_dir, action_config=exp_cfg,
+        mm_projector_type="linear", action_dim=8, chunk_size=5, bf16=False,
+    )
+    torch.manual_seed(13)
+    ref = dm0_arch.DM0ForCausalLM(cfg_r).eval().float()
+
+    ids, amask, images, image_masks, states, noise = _flow_inputs()
+    acts_ref = _run_ref_flow(ref, ids, amask, images, image_masks, states, noise)
+
+    qwen_t = dataclasses.replace(LLAMA_T, qk_norm=True)
+    qwen_expert_t = dataclasses.replace(
+        LLAMA_T, vocab_size=8, hidden_size=32, intermediate_size=64,
+        qk_norm=True, has_embed=False,
+    )
+    cfg = dm0_config(qwen_t, qwen_expert_t, SIGLIP_T, action_dim=8, chunk_size=5,
+                     projector_type="linear")
+    params = convert_flow_vla(_sd(ref), cfg)
+    out = flow_vla_inference_action(
+        params, cfg, jnp.asarray(ids), jnp.asarray(amask, jnp.int32),
+        jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(image_masks, jnp.int32), None,
+        jax.random.PRNGKey(0), num_steps=10, noise=jnp.asarray(noise),
+    )
+    np.testing.assert_allclose(np.asarray(out), acts_ref, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# MUVLA fusion modules + reward-weighted loss
+# (/root/reference/dexbotic/model/muvla/muvla_arch.py:28-66,482,558-592)
+# ---------------------------------------------------------------------------
+
+
+def test_muvla_fusion_module_parity(ref_env):
+    """CrossFuseReduce + SimpleQFormer vs the reference's own torch modules."""
+    from dexbotic.model.muvla.muvla_arch import CrossFuseReduce, SimpleQFormer
+
+    from dexbotic_tpu.models.muvla import _mha
+    from dexbotic_tpu.nn import core
+    from dexbotic_tpu.ops.norms import layer_norm
+    from dexbotic_tpu.utils.convert import convert_muvla_fuser, convert_muvla_qformer
+
+    torch.manual_seed(31)
+    rs = np.random.RandomState(32)
+
+    # CrossFuseReduce: obs tokens cross-attend into map tokens, residual + LN
+    # (forward uses only cross_attn + ln; reduce/back_proj are dead params)
+    fuser = CrossFuseReduce(inter_dim=64).eval()
+    map_tk = rs.randn(2, 5, 64).astype(np.float32)
+    obs_tk = rs.randn(2, 3, 64).astype(np.float32)
+    with torch.no_grad():
+        ref_out = fuser(torch.tensor(map_tk), torch.tensor(obs_tk)).numpy()
+    sd = {k: v.detach().numpy() for k, v in fuser.state_dict().items()}
+    p = convert_muvla_fuser(sd, prefix="")
+    fused = _mha(p["attn"], jnp.asarray(obs_tk), jnp.asarray(map_tk), 1)
+    out = layer_norm(fused + jnp.asarray(obs_tk), p["ln"]["w"], p["ln"]["b"], eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+    # SimpleQFormer: learned queries attend into projected history features
+    qf = SimpleQFormer(input_dim=48, hidden_dim=64, num_queries=7).eval()
+    feats = rs.randn(2, 9, 48).astype(np.float32)
+    with torch.no_grad():
+        ref_out = qf(torch.tensor(feats)).numpy()
+    sd = {k: v.detach().numpy() for k, v in qf.state_dict().items()}
+    p = convert_muvla_qformer(sd, prefix="")
+    memory = core.linear(p["input_proj"], jnp.asarray(feats))
+    queries = jnp.broadcast_to(jnp.asarray(p["queries"])[None], (2, 7, 64))
+    out = _mha(p["attn"], queries, memory, 8)
+    out = layer_norm(out, p["ln"]["w"], p["ln"]["b"], eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
+
+
+def test_muvla_loss_formula_parity(ref_env):
+    """Our muvla_loss vs the reference's torch loss block applied to the SAME
+    logits/hidden: shifted reward-weighted CE (1 + sigmoid(reward)) and
+    expectile-0.9 reward MSE on the last hidden token, combined at 0.5x."""
+    import torch.nn as nn
+
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+    from dexbotic_tpu.models.muvla import (
+        MUVLAConfig, fuse_obs_with_history, init_muvla, muvla_loss,
+    )
+    from dexbotic_tpu.models.vlm import VLMConfig, splice_image_embeds, vlm_forward
+    from dexbotic_tpu.nn import core
+    from dexbotic_tpu.nn.transformer import lm_logits
+
+    # inter_dim must equal the obs/map tower width (the reference fuses at
+    # the shared 1024-dim tower width; here both tiny towers are 32)
+    cfg = MUVLAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=SIGLIP_T, projector_type="linear"),
+        obs_vit=SIGLIP_T, inter_dim=32, num_history_queries=3, fuse_heads=1,
+    )
+    params = init_muvla(jax.random.PRNGKey(40), cfg)
+    rs = np.random.RandomState(41)
+    B, n_views, text = 2, 2, 5
+    nf = cfg.num_fused_tokens(n_views)
+    ids = rs.randint(1, 500, (B, nf + text))
+    ids[:, :nf] = IMAGE_TOKEN_INDEX
+    labels = np.full_like(ids, -100)
+    labels[:, -3:] = rs.randint(1, 500, (B, 3))
+    amask = np.ones_like(ids)
+    map_imgs = rs.randn(B, 28, 28, 3).astype(np.float32)
+    obs_imgs = rs.randn(B, n_views, 28, 28, 3).astype(np.float32)
+    reward = rs.randn(B).astype(np.float32)
+    batch = {
+        "input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(amask),
+        "labels": jnp.asarray(labels), "map_images": jnp.asarray(map_imgs),
+        "obs_images": jnp.asarray(obs_imgs), "reward": jnp.asarray(reward),
+    }
+    loss, metrics = muvla_loss(params, cfg, batch)
+
+    # recompute logits/hidden with the same forward pieces, then apply the
+    # reference's loss lines in torch
+    tokens = fuse_obs_with_history(params, cfg, batch["map_images"], batch["obs_images"])
+    embeds = splice_image_embeds({"llm": params["llm"]}, cfg.vlm, batch["input_ids"], tokens)
+    hidden, _ = vlm_forward(
+        {"llm": params["llm"], "vit": params["vit"], "projector": params["projector"]},
+        cfg.vlm, batch["input_ids"], batch["attention_mask"], inputs_embeds=embeds,
+    )
+    logits = np.asarray(lm_logits(params["llm"], cfg.vlm.llm, hidden), np.float32)
+
+    logits_t = torch.tensor(logits)
+    labels_t = torch.tensor(labels)
+    shift_logits = logits_t[..., :-1, :].contiguous()
+    shift_labels = labels_t[..., 1:].contiguous()
+    ce = nn.CrossEntropyLoss(reduction="none")(
+        shift_logits.view(-1, cfg.vlm.llm.vocab_size), shift_labels.view(-1)
+    ).view(B, -1)
+    m = (shift_labels != -100).float()
+    per_sample = (ce * m).sum(dim=1) / m.sum(dim=1).clamp(min=1)
+    weights = 1.0 + torch.sigmoid(torch.tensor(reward))
+    text_loss_ref = (per_sample * weights).mean()
+
+    pred = np.asarray(core.linear(params["reward_head"], hidden.astype(jnp.float32)))[..., 0]
+    diff = torch.tensor(pred[:, -1]) - torch.tensor(reward)
+    w = torch.where(diff < 0, 0.9, 1 - 0.9)
+    total_ref = text_loss_ref + 0.5 * (w * diff**2).mean()
+
+    np.testing.assert_allclose(float(loss), float(total_ref), atol=ATOL)
+    np.testing.assert_allclose(float(metrics["text_loss"]), float(text_loss_ref), atol=ATOL)
 
 
 # ---------------------------------------------------------------------------
