@@ -1,0 +1,316 @@
+"""Continuous batching for autoregressive policies (OFT-Discrete text heads,
+Discrete-VLA, MUVLA, NaVILA): slot-based decode-step coalescing.
+
+The reference serves AR generation strictly sequentially — one request holds
+the GPU through its whole HF ``generate`` loop
+(/root/reference/dexbotic/model/oft/oft_discrete_arch.py:238-282,
+muvla_arch.py:609-682; Flask threaded=False).  The TPU-native replacement is
+the AR analogue of the flow-policy micro-batcher (exp/serve.py): requests
+join and leave a fixed set of decode SLOTS at token-step granularity, so one
+jitted decode step serves every in-flight request at once.
+
+XLA needs static shapes, so continuous batching is expressed as:
+
+  * one engine KV cache of shape [slots, max_prompt + max_new, ...]; each
+    slot owns its row.  Buffer columns are storage, not logical positions —
+    RoPE positions and the cumsum-grp attention masks are explicit, so
+    slot rows at different depths coexist in one attention call.
+  * ADMIT: a B=1 prefill program (prompt length padded to 64-token buckets)
+    runs the prompt and its cache row + last hidden state are scattered
+    into the engine arrays at the free slot's row.
+  * STEP: ONE jitted program advances all slots ``steps_per_tick`` tokens
+    (a lax.scan): sample -> embed -> single-token forward with per-row
+    ``write_cols`` (nn/transformer.py mot_forward) -> new hidden.  Finished
+    or empty slots ride along masked (valid=0), costing no correctness and
+    amortized nothing: the MXU work is the same batched matmul either way.
+  * RETIRE: host-side, slots whose row hit EOS or max_new free up and the
+    next queued request is admitted.
+
+Two compiled programs total (prefill per bucket + one step program) — no
+per-request compilation, no head-of-line blocking by long generations.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.models.vlm import VLMConfig, vlm_forward
+from dexbotic_tpu.nn.transformer import embed_tokens, init_kv_cache, lm_logits
+
+
+def _bucket(n: int, mult: int = 64) -> int:
+    return -(-n // mult) * mult
+
+
+@dataclass
+class _Request:
+    ids: np.ndarray  # int[S] prompt (unpadded)
+    images: Optional[np.ndarray]
+    embeds: Optional[np.ndarray]  # pre-spliced prompt embeds [S, H]
+    max_new: int
+    event: threading.Event = field(default_factory=threading.Event)
+    tokens: list = field(default_factory=list)
+    error: Optional[Exception] = None
+    slot: int = -1
+
+
+class ContinuousBatchingEngine:
+    """Token-level request coalescing over a fixed slot set.
+
+    Args:
+        params/cfg: VLM params + config (the ``{"llm","vit","projector"}``
+            tree that vlm_forward takes).
+        slots: max concurrent decodes (the decode batch size).
+        max_prompt: prompt capacity per slot (bucketed prefill pads up to it).
+        max_new: decode capacity per slot.
+        eos/pad token ids, temperature: sampling config.
+        steps_per_tick: decode steps fused into one dispatch (amortizes the
+            per-dispatch RPC through the axon tunnel; finished slots emit
+            pads that are dropped host-side).
+    """
+
+    def __init__(self, params, cfg: VLMConfig, *, slots: int = 8,
+                 max_prompt: int = 512, max_new: int = 64,
+                 eos_token_id: int = 2, pad_token_id: int = 0,
+                 temperature: float = 0.0, steps_per_tick: int = 4,
+                 rng: Optional[jax.Array] = None):
+        self.params, self.cfg = params, cfg
+        self.S, self.P, self.N = slots, max_prompt, max_new
+        self.eos, self.pad = eos_token_id, pad_token_id
+        self.temperature = temperature
+        self.k = steps_per_tick
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        C = self.P + self.N
+        self.cache = init_kv_cache(cfg.llm, slots, C, dtype=jnp.bfloat16)
+        H = cfg.llm.hidden_size
+        self.last_hidden = jnp.zeros((slots, H), jnp.bfloat16)
+        # host mirrors of per-slot state
+        self.prompt_len = np.zeros(slots, np.int32)
+        self.n_dec = np.zeros(slots, np.int32)
+        self.live = np.zeros(slots, bool)
+        self.reqs: list[Optional[_Request]] = [None] * slots
+        self.batched_steps = 0  # observability: ticks that served >1 slot
+
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self._prefill_fns: dict = {}
+        self._step_fn = jax.jit(self._make_step(), static_argnums=(8,))
+        self._install_fn = jax.jit(self._install)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ---- device programs --------------------------------------------------
+
+    def _prefill(self, bucket: int, with_images: bool, with_embeds: bool):
+        key = (bucket, with_images, with_embeds)
+        fn = self._prefill_fns.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            def prefill(params, ids, valid, images, embeds):
+                cache = init_kv_cache(cfg.llm, 1, bucket, dtype=jnp.bfloat16)
+                hidden, cache = vlm_forward(
+                    params, cfg, ids, valid,
+                    images=images if with_images else None,
+                    inputs_embeds=embeds if with_embeds else None,
+                    cache=cache, update_cache=True,
+                )
+                last = jnp.take_along_axis(
+                    hidden, (jnp.sum(valid, axis=1) - 1)[:, None, None], axis=1
+                )[:, 0]
+                return cache, last
+
+            fn = self._prefill_fns[key] = jax.jit(prefill)
+        return fn
+
+    def _install(self, cache, last_hidden, pcache, plast, slot):
+        """Scatter one prefilled row (length P-bucket) into the engine cache
+        at ``slot``, zeroing the rest of the row's occupancy."""
+        C = cache["grp"].shape[1]
+        new = dict(cache)
+
+        def pad_kv(a):  # [L, 1, bucket, H, D] -> [L, 1, C, H, D], zero tail
+            return jnp.pad(a, [(0, 0), (0, 0), (0, C - a.shape[2]), (0, 0), (0, 0)])
+
+        def pad_row(a):  # [1, bucket] -> [1, C]; zeros clear stale occupancy
+            return jnp.pad(a, [(0, 0), (0, C - a.shape[1])])
+
+        new["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], pad_kv(pcache["k"]).astype(cache["k"].dtype), (0, slot, 0, 0, 0)
+        )
+        new["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], pad_kv(pcache["v"]).astype(cache["v"].dtype), (0, slot, 0, 0, 0)
+        )
+        for f in ("grp", "valid", "seg"):
+            new[f] = jax.lax.dynamic_update_slice(cache[f], pad_row(pcache[f]), (slot, 0))
+        last_hidden = jax.lax.dynamic_update_slice(
+            last_hidden, plast.astype(last_hidden.dtype), (slot, 0)
+        )
+        return new, last_hidden
+
+    def _make_step(self):
+        cfg, S, P = self.cfg, self.S, self.P
+        eos, pad, temperature = self.eos, self.pad, self.temperature
+
+        def step_k(params, cache, last_hidden, prompt_len, n_dec, done, cap, rng, k):
+            def one(carry, r):
+                cache, hid, n_dec, done = carry
+                logits = lm_logits(params["llm"], cfg.llm, hid).astype(jnp.float32)
+                if temperature and temperature > 0:
+                    tok = jax.random.categorical(r, logits / temperature, axis=-1)
+                else:
+                    tok = jnp.argmax(logits, axis=-1)
+                tok = jnp.where(done, pad, tok).astype(jnp.int32)
+
+                emb = embed_tokens(params["llm"], cfg.llm, tok[:, None], dtype=hid.dtype)
+                pos = (prompt_len + n_dec)[:, None]
+                grp = pos + 1
+                valid = jnp.where(done, 0, 1)[:, None].astype(jnp.int32)
+                # done rows still index write_cols; their OOB column at the
+                # capacity edge is dropped by XLA scatter semantics and the
+                # write is valid=0 anyway
+                hidden, cache = vlm_forward(
+                    params, cfg, tok[:, None], valid, inputs_embeds=emb,
+                    positions=pos, grp=grp, cache=cache, update_cache=True,
+                    write_cols=P + n_dec,
+                )
+                n_dec = n_dec + jnp.where(done, 0, 1)
+                new_done = done | (tok == eos) | (n_dec >= cap)
+                return (cache, hidden[:, 0], n_dec, new_done), tok
+
+            rngs = jax.random.split(rng, k)
+            (cache, hid, n_dec, done), toks = jax.lax.scan(
+                one, (cache, last_hidden, n_dec, done), rngs
+            )
+            return cache, hid, n_dec, done, toks  # toks [k, S]
+
+        return step_k
+
+    # ---- host loop --------------------------------------------------------
+
+    def submit(self, ids, images=None, embeds=None, max_new: Optional[int] = None,
+               timeout: float = 900.0) -> list:
+        """Blocking: returns the generated token list (pads/eos trimmed)."""
+        ids = np.asarray(ids).reshape(-1)
+        assert ids.shape[0] <= self.P, f"prompt {ids.shape[0]} > max_prompt {self.P}"
+        r = _Request(ids=ids, images=images, embeds=embeds,
+                     max_new=min(max_new or self.N, self.N))
+        self._queue.put(r)
+        self._wake.set()
+        if not r.event.wait(timeout=timeout):
+            raise TimeoutError("decode engine timed out")
+        if r.error is not None:
+            raise r.error
+        return r.tokens
+
+    def close(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    def _admit(self, req: _Request, slot: int):
+        L = req.ids.shape[0]
+        bucket = min(_bucket(max(L, 1)), self.P)
+        ids = np.zeros((1, bucket), np.int32)
+        ids[0, :L] = req.ids
+        valid = np.zeros((1, bucket), np.int32)
+        valid[0, :L] = 1
+        embeds = None
+        if req.embeds is not None:
+            # keep the caller's prefill dtype (float32 matches the fused
+            # generate() path bit-for-bit; pass bf16 embeds for bf16 serving)
+            embeds = np.zeros((1, bucket, req.embeds.shape[-1]), req.embeds.dtype)
+            embeds[0, :L] = req.embeds
+            embeds = jnp.asarray(embeds)
+        images = None if req.images is None else jnp.asarray(req.images)[None]
+        fn = self._prefill(bucket, images is not None, embeds is not None)
+        pcache, plast = fn(self.params, jnp.asarray(ids), jnp.asarray(valid),
+                           images, embeds)
+        self.cache, self.last_hidden = self._install_fn(
+            self.cache, self.last_hidden, pcache, plast, slot
+        )
+        self.prompt_len[slot] = L
+        self.n_dec[slot] = 0
+        self.live[slot] = True
+        self.reqs[slot] = req
+        req.slot = slot
+
+    def _loop(self):
+        while not self._stop:
+            # admit as many queued requests as there are free slots
+            for slot in range(self.S):
+                if self.live[slot]:
+                    continue
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    self._admit(req, slot)
+                except Exception as e:  # noqa: BLE001
+                    req.error = e
+                    req.event.set()
+            if not self.live.any():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+
+            if int(self.live.sum()) > 1:
+                self.batched_steps += 1
+            self.rng, r = jax.random.split(self.rng)
+            done = jnp.asarray(~self.live | (self.n_dec >= self._max_new_arr()))
+            try:
+                self.cache, self.last_hidden, n_dec, done, toks = self._step_fn(
+                    self.params, self.cache, self.last_hidden,
+                    jnp.asarray(self.prompt_len), jnp.asarray(self.n_dec), done,
+                    jnp.asarray(self._max_new_arr()), r, self.k,
+                )
+                toks = np.asarray(jax.device_get(toks))  # [k, S]
+                self.n_dec = np.array(jax.device_get(n_dec))  # writable copy
+                done_np = np.asarray(jax.device_get(done))
+            except Exception as e:  # noqa: BLE001
+                # fail every in-flight request rather than hanging clients
+                for slot in range(self.S):
+                    req = self.reqs[slot]
+                    if req is not None:
+                        req.error = e
+                        self.live[slot] = False
+                        self.reqs[slot] = None
+                        req.event.set()
+                continue
+            for slot in range(self.S):
+                req = self.reqs[slot]
+                if req is None or not self.live[slot]:
+                    continue
+                for t in toks[:, slot]:
+                    if len(req.tokens) >= req.max_new or (
+                        req.tokens and req.tokens[-1] == self.eos
+                    ):
+                        break
+                    req.tokens.append(int(t))
+                finished = (
+                    done_np[slot]
+                    or len(req.tokens) >= req.max_new
+                    or (req.tokens and req.tokens[-1] == self.eos)
+                )
+                if finished:
+                    self.live[slot] = False
+                    self.reqs[slot] = None
+                    req.event.set()
+
+    def _max_new_arr(self):
+        out = np.full(self.S, self.N, np.int32)
+        for slot, req in enumerate(self.reqs):
+            if req is not None:
+                out[slot] = req.max_new
+        return out

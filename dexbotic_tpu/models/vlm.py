@@ -96,6 +96,7 @@ def vlm_forward(
     positions: Optional[jnp.ndarray] = None,
     grp: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    write_cols: Optional[jnp.ndarray] = None,  # int[B] per-row cache columns
 ):
     """Causal VLM forward.  Returns (last_hidden post-norm, cache)."""
     if inputs_embeds is None:
@@ -123,6 +124,7 @@ def vlm_forward(
         cache=cache,
         update_cache=update_cache,
         remat=remat,
+        write_cols=write_cols,
     )
     return outs[0], cache
 

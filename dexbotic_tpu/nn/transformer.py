@@ -205,6 +205,7 @@ def mot_forward(
     update_cache: bool = False,
     remat: bool = False,
     q_seg: Optional[jnp.ndarray] = None,  # int[B, T] packed-sequence ids
+    write_cols: Optional[jnp.ndarray] = None,  # int[B] per-row cache columns
 ):
     """Joint attention over N decoder streams.
 
@@ -216,6 +217,14 @@ def mot_forward(
     Returns (outs, cache): outs is a list aligned with `streams` (None for
     inactive streams), each final-normed; cache is the (possibly updated)
     KV cache, or a freshly created one when update_cache=True and cache=None.
+
+    ``write_cols`` (requires cache + update_cache): row b's T new tokens are
+    written at columns write_cols[b]..write_cols[b]+T-1 instead of at the
+    shared ``length`` cursor — the continuous-batching path
+    (exp/decode_engine.py) where each slot sits at a different depth.  The
+    scalar ``length`` cursor is left untouched; callers own per-row
+    occupancy.  Buffer columns are storage, not logical positions: RoPE uses
+    ``positions`` and masking uses grp/valid, so rows may interleave freely.
     """
     active = [s for s in streams if s.embeds is not None]
     assert active, "at least one stream must have embeddings"
@@ -243,12 +252,20 @@ def mot_forward(
         q_seg_arr = jnp.zeros(q_grp.shape, jnp.int32)
     else:
         q_seg_arr = q_seg.astype(jnp.int32)
+    if write_cols is not None:
+        assert cache is not None and update_cache, "write_cols needs a cache update"
+        row_ix = jnp.arange(q_grp.shape[0])[:, None]
+        col_ix = write_cols[:, None] + jnp.arange(T)[None, :]
     if cache is not None:
         start = cache["length"]
         cache_seg = cache.get("seg")
         if cache_seg is None:
             cache_seg = jnp.zeros(cache["grp"].shape, jnp.int32)
-        if update_cache:
+        if update_cache and write_cols is not None:
+            kv_grp = cache["grp"].at[row_ix, col_ix].set(q_grp.astype(jnp.int32))
+            kv_valid = cache["valid"].at[row_ix, col_ix].set(q_valid.astype(jnp.int32))
+            kv_seg = cache_seg.at[row_ix, col_ix].set(q_seg_arr)
+        elif update_cache:
             kv_grp = jax.lax.dynamic_update_slice(cache["grp"], q_grp.astype(jnp.int32), (0, start))
             kv_valid = jax.lax.dynamic_update_slice(
                 cache["valid"], q_valid.astype(jnp.int32), (0, start)
@@ -296,7 +313,11 @@ def mot_forward(
 
         if cache is not None:
             ck, cv = layer_xs["cache_k"], layer_xs["cache_v"]
-            if update_cache:
+            if update_cache and write_cols is not None:
+                ck = ck.at[row_ix, col_ix].set(k_cat.astype(ck.dtype))
+                cv = cv.at[row_ix, col_ix].set(v_cat.astype(cv.dtype))
+                k_full, v_full = ck, cv
+            elif update_cache:
                 ck = jax.lax.dynamic_update_slice(ck, k_cat.astype(ck.dtype), (0, start, 0, 0))
                 cv = jax.lax.dynamic_update_slice(cv, v_cat.astype(cv.dtype), (0, start, 0, 0))
                 k_full, v_full = ck, cv
@@ -363,7 +384,10 @@ def mot_forward(
             new_cache["k"], new_cache["v"] = cache_kv
             new_cache["grp"], new_cache["valid"] = kv_grp, kv_valid
             new_cache["seg"] = kv_seg
-            new_cache["length"] = cache["length"] + T if start is not None else jnp.asarray(T, jnp.int32)
+            if write_cols is None:
+                new_cache["length"] = (
+                    cache["length"] + T if start is not None else jnp.asarray(T, jnp.int32)
+                )
     return outs, new_cache
 
 

@@ -1,0 +1,134 @@
+"""Continuous-batching AR decode engine (exp/decode_engine.py).
+
+Covers the round-3 VERDICT item: batched decode-step KV-cache serving for
+the AR policies — correctness vs the single-request generate() path, slot
+reuse, per-row cache writes (mot_forward write_cols), and actual step
+coalescing under concurrent clients.
+"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
+from dexbotic_tpu.models.generate import generate
+from dexbotic_tpu.models.presets import LLM_TEST, VIT_TEST
+from dexbotic_tpu.models.vlm import VLMConfig, init_vlm
+from dexbotic_tpu.nn.transformer import (
+    Stream, init_kv_cache, init_transformer, mot_forward,
+)
+
+VLM = VLMConfig(llm=LLM_TEST, vit=VIT_TEST)
+
+
+def _prompt(rs, text_len):
+    nt = VLM.num_image_tokens
+    ids = rs.randint(1, 400, nt + text_len)
+    ids[:nt] = IMAGE_TOKEN_INDEX
+    img = rs.randn(1, 28, 28, 3).astype(np.float32)
+    return ids, img
+
+
+def test_write_cols_matches_cursor_path():
+    """A single-token cache update via per-row write_cols must equal the
+    shared-cursor dynamic_update_slice path when the columns coincide."""
+    cfg = LLM_TEST
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    B, P = 2, 8
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(B, P, cfg.hidden_size).astype(np.float32))
+    valid = jnp.ones((B, P), jnp.int32)
+    grp = jnp.cumsum(valid, axis=1)
+    pos = grp - 1
+    cache = init_kv_cache(cfg, B, P + 2, dtype=jnp.float32)
+    _, cache = mot_forward(
+        [Stream(cfg, params, x)], positions=pos, q_grp=grp, q_valid=valid,
+        cache=cache, update_cache=True,
+    )
+
+    tok = jnp.asarray(rs.randn(B, 1, cfg.hidden_size).astype(np.float32))
+    pos1 = jnp.full((B, 1), P, jnp.int32)
+    grp1 = pos1 + 1
+    v1 = jnp.ones((B, 1), jnp.int32)
+
+    out_a, cache_a = mot_forward(
+        [Stream(cfg, params, tok)], positions=pos1, q_grp=grp1, q_valid=v1,
+        cache=cache, update_cache=True,
+    )
+    out_b, cache_b = mot_forward(
+        [Stream(cfg, params, tok)], positions=pos1, q_grp=grp1, q_valid=v1,
+        cache=cache, update_cache=True, write_cols=jnp.full((B,), P, jnp.int32),
+    )
+    np.testing.assert_allclose(np.asarray(out_a[0]), np.asarray(out_b[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cache_a["k"]), np.asarray(cache_b["k"]),
+                               rtol=1e-5, atol=1e-5)
+    # write_cols leaves the shared cursor untouched (caller-owned occupancy)
+    assert int(cache_b["length"]) == P and int(cache_a["length"]) == P + 1
+
+
+def test_engine_matches_generate_greedy():
+    """Engine output == the fused single-request generate() for each of
+    several concurrent prompts of different lengths."""
+    params = init_vlm(jax.random.PRNGKey(0), VLM)
+    rs = np.random.RandomState(2)
+    prompts = [_prompt(rs, t) for t in (4, 6, 9)]
+    T = 5
+
+    expected = []
+    for ids, img in prompts:
+        toks, _ = generate(
+            params, VLM, jnp.asarray(ids)[None], jnp.ones((1, len(ids)), jnp.int32),
+            jnp.asarray(img)[None], max_new_tokens=T, eos_token_id=-1,
+            temperature=0.0,
+        )
+        expected.append(np.asarray(toks)[0].tolist())
+
+    eng = ContinuousBatchingEngine(
+        params, VLM, slots=2, max_prompt=64, max_new=T,
+        eos_token_id=-1, temperature=0.0, steps_per_tick=2,
+    )
+    try:
+        results = [None] * len(prompts)
+
+        def run(i):
+            ids, img = prompts[i]
+            results[i] = eng.submit(ids, images=img, max_new=T, timeout=300)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, exp in enumerate(expected):
+            assert results[i] == exp, f"prompt {i}: {results[i]} != {exp}"
+        # 3 requests through 2 slots: slot reuse exercised, and with
+        # concurrent clients at least one tick must have served >1 slot
+        assert eng.batched_steps > 0
+    finally:
+        eng.close()
+
+
+def test_engine_eos_stops_early():
+    params = init_vlm(jax.random.PRNGKey(0), VLM)
+    rs = np.random.RandomState(3)
+    ids, img = _prompt(rs, 5)
+    # find what greedy emits first, then use THAT id as eos: generation must
+    # stop after one token
+    toks, _ = generate(
+        params, VLM, jnp.asarray(ids)[None], jnp.ones((1, len(ids)), jnp.int32),
+        jnp.asarray(img)[None], max_new_tokens=3, eos_token_id=-1, temperature=0.0,
+    )
+    first = int(np.asarray(toks)[0, 0])
+    eng = ContinuousBatchingEngine(
+        params, VLM, slots=2, max_prompt=64, max_new=8,
+        eos_token_id=first, temperature=0.0, steps_per_tick=4,
+    )
+    try:
+        out = eng.submit(ids, images=img, timeout=300)
+        assert out == [first]
+    finally:
+        eng.close()

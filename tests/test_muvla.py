@@ -113,3 +113,54 @@ def test_muvla_server_get_response():
     ]
     out = server.get_response({"text": "go to the door"}, frames)
     assert isinstance(out["text"], str)
+
+
+def test_muvla_server_continuous_batching_matches_sequential():
+    """With continuous_batching, concurrent requests coalesce into shared
+    decode steps (exp/decode_engine.py) and still produce the same greedy
+    text as the fused per-request generate path."""
+    import threading
+
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.muvla_exp import MUVLAExp, MUVLAModelConfig
+    from dexbotic_tpu.exp.serve import MUVLAServer
+
+    exp = MUVLAExp(
+        model=MUVLAModelConfig(
+            llm_preset="test", vit_preset="test", obs_vit_preset="test",
+            inter_dim=32, num_history_queries=6, fuse_heads=4,
+        ),
+        data=base_exp.DataConfig(image_processor="28"),
+    )
+    tokenizer = exp.tokenizer.build_tokenizer()
+    cfg = exp.model.build_config()
+    params = init_muvla(jax.random.PRNGKey(0), cfg)
+    plain = MUVLAServer(exp, cfg, params, tokenizer, max_new_tokens=4)
+    cb = MUVLAServer(exp, cfg, params, tokenizer, max_new_tokens=4,
+                     continuous_batching=2)
+    assert cb.concurrent and cb.engine is not None
+    try:
+        rs = np.random.RandomState(7)
+        reqs = []
+        for i in range(3):
+            frames = [
+                ("map", rs.randint(0, 255, (28, 28, 3)).astype(np.uint8)),
+                ("obs0", rs.randint(0, 255, (28, 28, 3)).astype(np.uint8)),
+            ]
+            reqs.append(({"text": f"go to the door {i}"}, frames))
+        expected = [plain.get_response(f, fr)["text"] for f, fr in reqs]
+
+        results = [None] * len(reqs)
+
+        def run(i):
+            results[i] = cb.get_response(*reqs[i])["text"]
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert results == expected
+        assert cb.engine.batched_steps > 0  # decode steps actually coalesced
+    finally:
+        cb.engine.close()
