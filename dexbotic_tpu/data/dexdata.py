@@ -14,7 +14,6 @@ collator so device shapes stay static.
 from __future__ import annotations
 
 import copy
-import glob as globlib
 import json
 import math
 import os
@@ -24,11 +23,12 @@ from typing import Callable, Optional
 
 import numpy as np
 
+from dexbotic_tpu.data.io import smart_exists, smart_glob, smart_join, smart_open
 from dexbotic_tpu.data.registry import CONVERSATION_DATA
 
 
 def load_jsonl(file_path: str, parse: bool = False):
-    with open(file_path, "r") as f:
+    with smart_open(file_path, "r") as f:
         lines = [l for l in f.readlines() if l.strip()]
     return [json.loads(l) for l in lines] if parse else lines
 
@@ -134,9 +134,9 @@ class DexDataset:
         return data_index
 
     def _get_index_cache(self, data_path):
-        cache_file = os.path.join(data_path, "index_cache.json")
-        if os.path.exists(cache_file):
-            with open(cache_file) as f:
+        cache_file = smart_join(data_path, "index_cache.json")
+        if smart_exists(cache_file):
+            with smart_open(cache_file) as f:
                 cache = json.load(f)
             if self._check_index_cache(data_path, cache):
                 return cache
@@ -144,9 +144,7 @@ class DexDataset:
 
     @staticmethod
     def _glob_jsonl(data_path):
-        return sorted(
-            globlib.glob(os.path.join(data_path, "**", "*.jsonl"), recursive=True)
-        )
+        return smart_glob(smart_join(data_path, "**", "*.jsonl"), recursive=True)
 
     def _build_index_cache(self, data_path):
         files = self._glob_jsonl(data_path)
@@ -159,7 +157,7 @@ class DexDataset:
             cache["data"][f] = n
             cache["meta_data"]["total_samples"] += n
         try:
-            with open(os.path.join(data_path, "index_cache.json"), "w") as f:
+            with smart_open(smart_join(data_path, "index_cache.json"), "w") as f:
                 json.dump(cache, f, indent=2)
         except OSError:
             warnings.warn(f"could not write index cache in {data_path}")

@@ -21,9 +21,13 @@ except ImportError:  # pragma: no cover
 
 from PIL import Image
 
+from dexbotic_tpu.data.io import smart_local_path, smart_open
+
 
 def load_image(url: str) -> Image.Image:
-    with open(url, "rb") as f:
+    # smart_open: local paths or any registered remote scheme (data/io.py,
+    # the megfile seam of the reference's multimodal loader)
+    with smart_open(url, "rb") as f:
         return Image.open(io.BytesIO(f.read())).convert("RGB")
 
 
@@ -33,7 +37,7 @@ def load_video_frames(url: str, frame_indices: list[int]) -> dict[int, Image.Ima
         raise RuntimeError("cv2 unavailable; cannot decode video")
     wanted = sorted(set(frame_indices))
     out = {}
-    cap = cv2.VideoCapture(url)
+    cap = cv2.VideoCapture(smart_local_path(url))
     try:
         # sequential decode up to max index (robust; seeks can be inexact)
         last = wanted[-1]
@@ -58,7 +62,7 @@ def load_depth_video_frames(url: str, frame_indices: list[int]) -> dict[int, np.
     """gray16le depth video frames (reference uses PyAV; cv2 fallback)."""
     if cv2 is None:
         raise RuntimeError("cv2 unavailable; cannot decode depth video")
-    cap = cv2.VideoCapture(url)
+    cap = cv2.VideoCapture(smart_local_path(url))
     cap.set(cv2.CAP_PROP_CONVERT_RGB, 0)
     out = {}
     wanted = set(frame_indices)
