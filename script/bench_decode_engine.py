@@ -1,0 +1,124 @@
+"""Continuous-batching decode rate: engine vs sequential generate (real TPU).
+
+Measures the AR-serving analogue of the flow micro-batch multiplier: N
+concurrent clients stream prompts through the ContinuousBatchingEngine
+(slot-coalesced decode steps) vs the same N requests served sequentially by
+the fused per-request generate().  1b-class LLM decode is HBM-bandwidth-
+bound (every step streams all weights for one token per live slot), so
+coalescing S slots multiplies tokens/s by ~S until the batch matmul turns
+compute-bound.
+
+Run: python script/bench_decode_engine.py      (real chip)
+Env: BENCH_SCALE=test|1b  BENCH_SLOTS=8  BENCH_NEW=32  BENCH_CLIENTS=8
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCALE = os.environ.get("BENCH_SCALE", "1b")
+SLOTS = int(os.environ.get("BENCH_SLOTS", "8"))
+NEW = int(os.environ.get("BENCH_NEW", "32"))
+CLIENTS = int(os.environ.get("BENCH_CLIENTS", "8"))
+
+
+def build():
+    from dexbotic_tpu.models.vlm import VLMConfig
+    from dexbotic_tpu.nn.transformer import TransformerConfig
+    from dexbotic_tpu.nn.vit import ViTConfig, SIGLIP_SO400M_224
+
+    if SCALE == "test":
+        llm = TransformerConfig(vocab_size=2048, hidden_size=256, num_layers=2,
+                                num_heads=2, num_kv_heads=2, head_dim=128,
+                                intermediate_size=512)
+        vit = ViTConfig(image_size=112, patch_size=14, hidden_size=256,
+                        num_layers=2, num_heads=4, intermediate_size=512,
+                        select_layer=None)
+    else:  # 1b-class (the OFT-Discrete / NaVILA serving regime)
+        llm = TransformerConfig(vocab_size=32000, hidden_size=2048, num_layers=16,
+                                num_heads=16, num_kv_heads=16, head_dim=128,
+                                intermediate_size=5504)
+        vit = SIGLIP_SO400M_224
+    return VLMConfig(llm=llm, vit=vit)
+
+
+def main():
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+    from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
+    from dexbotic_tpu.models.generate import generate
+    from dexbotic_tpu.models.vlm import init_vlm
+
+    cfg = build()
+    params = init_vlm(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    nt = cfg.num_image_tokens
+    rs = np.random.RandomState(0)
+    size = cfg.vit.image_size
+
+    def make_prompt(i):
+        ids = rs.randint(1, 30000, nt + 32)
+        ids[:nt] = IMAGE_TOKEN_INDEX
+        img = rs.randn(1, size, size, 3).astype(np.float32)
+        return ids, img
+
+    prompts = [make_prompt(i) for i in range(CLIENTS)]
+
+    # -- sequential fused generate (the reference's serving pattern) --------
+    ids0, img0 = prompts[0]
+    gen = jax.jit(lambda p, i, v, im, r: generate(
+        p, cfg, i, v, im, max_new_tokens=NEW, eos_token_id=-1, rng=r)[0])
+    v0 = jnp.ones((1, len(ids0)), jnp.int32)
+    _ = np.asarray(gen(params, jnp.asarray(ids0)[None], v0,
+                       jnp.asarray(img0)[None], jax.random.PRNGKey(1)))  # compile
+    t0 = time.perf_counter()
+    for ids, img in prompts:
+        _ = np.asarray(gen(params, jnp.asarray(ids)[None],
+                           jnp.ones((1, len(ids)), jnp.int32),
+                           jnp.asarray(img)[None], jax.random.PRNGKey(2)))
+    seq_dt = time.perf_counter() - t0
+    seq_rate = CLIENTS * NEW / seq_dt
+
+    # -- continuous batching engine ----------------------------------------
+    eng = ContinuousBatchingEngine(
+        params, cfg, slots=SLOTS, max_prompt=512, max_new=NEW,
+        eos_token_id=-1, steps_per_tick=8,
+    )
+    # warm both compiled programs (prefill bucket + step) with one request
+    eng.submit(prompts[0][0], images=prompts[0][1], max_new=NEW)
+
+    results = [None] * CLIENTS
+
+    def run(i):
+        ids, img = prompts[i]
+        results[i] = eng.submit(ids, images=img, max_new=NEW, timeout=1800)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(CLIENTS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    eng_dt = time.perf_counter() - t0
+    eng_rate = CLIENTS * NEW / eng_dt
+    assert all(len(r) == NEW for r in results)
+    eng.close()
+
+    print({
+        "scale": SCALE, "clients": CLIENTS, "slots": SLOTS, "new_tokens": NEW,
+        "sequential_tok_per_s": round(seq_rate, 1),
+        "engine_tok_per_s": round(eng_rate, 1),
+        "multiplier": round(eng_rate / seq_rate, 2),
+        "coalesced_ticks": eng.batched_steps,
+    })
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,8 @@ and the DEVICE program time comes from bench.py's on-chip scan measurement.
 Co-located p50 = host p50 + device ms/chunk.
 
 Run: python script/bench_serving_p50.py  (host part runs anywhere; pass
---device-ms from the latest bench.py run, default 4.09 = 1b B=1).
+--device-ms from the latest bench.py run, default 12.3 = honest 1b B=1
+round-3 harness; the old 4.09 came from the hoisted-prefill timing bug).
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from PIL import Image
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--device-ms", type=float, default=4.09,
+    ap.add_argument("--device-ms", type=float, default=12.3,
                     help="on-chip frame->chunk ms (bench.py; 1b B=1 default)")
     ap.add_argument("--iters", type=int, default=200)
     args = ap.parse_args()

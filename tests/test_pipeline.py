@@ -142,3 +142,108 @@ def test_pp_param_shardings_and_jit_train_step():
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert float(l2) < float(l1)  # two steps on one batch reduce its loss
     assert p2["layers"]["attn"]["q"]["w"].sharding.spec == P("stage")
+
+
+# ------------------------------------------------------------- MoT-stream PP
+
+
+def _pi0_cfg_params(adarms=False):
+    import dataclasses as dc
+
+    from dexbotic_tpu.models.flow_vla import init_flow_vla, pi0_config, pi05_config
+    from dexbotic_tpu.models.presets import (
+        EXPERT_TEST, EXPERT_TEST_ADARMS, LLM_TEST, VIT_TEST,
+    )
+
+    llm = dc.replace(LLM_TEST, num_layers=2)
+    expert = dc.replace(EXPERT_TEST_ADARMS if adarms else EXPERT_TEST, num_layers=2)
+    make = pi05_config if adarms else pi0_config
+    cfg = make(llm, expert, VIT_TEST, action_dim=8, chunk_size=5,
+               projector_type="linear")
+    params = init_flow_vla(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _flow_batch(cfg, B=4, seed=3):
+    r = np.random.RandomState(seed)
+    batch = {
+        "input_ids": jnp.asarray(r.randint(1, 400, (B, 6))),
+        "attention_mask": jnp.ones((B, 6), jnp.int32),
+        "images": jnp.asarray(r.randn(B, 2, 28, 28, 3), jnp.float32),
+        "image_masks": jnp.ones((B, 2), jnp.int32),
+        "actions": jnp.asarray(r.randn(B, cfg.chunk_size, cfg.action_dim), jnp.float32),
+        "states": jnp.asarray(r.randn(B, cfg.action_dim), jnp.float32),
+    }
+    return batch
+
+
+def test_pp_mot_forward_matches_mot():
+    """pipeline_mot_forward == mot_forward for the pi0 two-tree layer step
+    (prefix through the LLM weights, suffix through the expert, one joint
+    attention), pipelined over 2 stages x 2 data shards."""
+    from dexbotic_tpu.models.flow_vla import (
+        _positions_and_grp, embed_prefix, embed_suffix,
+    )
+    from dexbotic_tpu.nn.transformer import Stream, mot_forward
+    from dexbotic_tpu.parallel.pipeline import pipeline_mot_forward
+
+    cfg, params = _pi0_cfg_params()
+    batch = _flow_batch(cfg)
+    B = batch["actions"].shape[0]
+    x_t = jnp.asarray(np.random.RandomState(4).randn(
+        B, cfg.chunk_size, cfg.action_dim), jnp.float32)
+    time = jnp.full((B,), 0.5, jnp.float32)
+
+    prefix_tokens, prefix_mask, prefix_ar = embed_prefix(
+        params, cfg, batch["images"], batch["image_masks"],
+        batch["input_ids"], batch["attention_mask"],
+    )
+    suffix_tokens, suffix_mask, suffix_ar, cond = embed_suffix(
+        params, cfg, batch["states"], x_t, time, dtype=prefix_tokens.dtype
+    )
+    mask, grp, positions = _positions_and_grp(
+        prefix_mask, prefix_ar, suffix_mask, suffix_ar
+    )
+    ref, _ = mot_forward(
+        [Stream(cfg.llm, params["vlm"]["llm"], prefix_tokens),
+         Stream(cfg.expert, params["expert"], suffix_tokens)],
+        positions=positions, q_grp=grp, q_valid=mask,
+    )
+
+    mesh = _mesh(stage=2, data=2)
+    outs = pipeline_mot_forward(
+        (cfg.llm, cfg.expert),
+        (params["vlm"]["llm"], params["expert"]),
+        (prefix_tokens, suffix_tokens),
+        positions, grp, mask, mesh, n_micro=2,
+    )
+    for o, r2 in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r2),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_pp_flow_vla_loss_and_grads_match():
+    """pipeline_flow_vla_loss == flow_vla_loss (value and grads through the
+    reverse-AD GPipe schedule), incl. the pi0.5 adaRMS cond path."""
+    from dexbotic_tpu.models.flow_vla import flow_vla_loss
+    from dexbotic_tpu.parallel.pipeline import pipeline_flow_vla_loss
+
+    for adarms in (False, True):
+        cfg, params = _pi0_cfg_params(adarms=adarms)
+        batch = _flow_batch(cfg)
+        rng = jax.random.PRNGKey(9)
+        ref_loss, _ = flow_vla_loss(params, cfg, batch, rng)
+        mesh = _mesh(stage=2, data=2)
+        pp_loss, _ = pipeline_flow_vla_loss(params, cfg, batch, rng, mesh, n_micro=2)
+        np.testing.assert_allclose(float(pp_loss), float(ref_loss),
+                                   rtol=2e-4, atol=2e-4)
+
+        g_ref = jax.grad(lambda p: flow_vla_loss(p, cfg, batch, rng)[0])(params)
+        g_pp = jax.grad(
+            lambda p: pipeline_flow_vla_loss(p, cfg, batch, rng, mesh, n_micro=2)[0]
+        )(params)
+        flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+        flat_p, _ = jax.tree_util.tree_flatten(g_pp)
+        for a, b in zip(flat_r, flat_p):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-4)
