@@ -7,15 +7,22 @@ BENCH_MODEL=pi0: 3-view SigLIP + PaliGemma-class prefill + 10 Euler steps
 against the frozen prefix KV cache.
 BENCH_MODEL=oft: OFT-L1 single-forward regression head.
 
-Timing integrity (round-3 fix, VERDICT r2): EVERY input of the timed scan
-body — params, ids, masks, images — is tied to the per-iteration rng via
-``jax.lax.optimization_barrier``.  Without this XLA hoists the
-loop-invariant ViT encode + LLM prefill out of the 20-iteration scan and
-the "throughput" times only the rng-dependent sampler (round-2 headline
-numbers implied up to 8x the chip's peak FLOP/s).  As a harness self-check
-we compute analytic matmul FLOPs per chunk from the config and ASSERT the
-implied TFLOP/s is below the chip's peak before printing; the achieved
-TFLOP/s and MFU are printed next to chunks/s so inflation is visible.
+Timing integrity (round-3 fix, VERDICT r2): EVERY data input of the timed
+scan body — ids, masks, images, states — is REGENERATED from the
+per-iteration rng inside the body (jax.random on device; noise costs
+nothing next to the model FLOPs).  Loop-invariant inputs let XLA hoist the
+ViT encode + LLM prefill out of the 20-iteration scan and time only the
+sampler (round-2 headline numbers implied up to 8x the chip's peak
+FLOP/s); an ``optimization_barrier`` tying inputs to the rng is NOT
+sufficient — XLA deletes the barrier and hoists anyway (verified by HLO
+inspection on this backend), which the OFT-L1 rerun demonstrated at an
+implied 1213 TFLOP/s.  Weights stay loop-invariant arguments — real
+serving reuses them and every matmul streams them from HBM regardless
+(quantized weights additionally get the dequant barrier, see
+_fresh_params).  As a harness self-check we compute analytic matmul FLOPs
+per chunk from the config and ASSERT the implied TFLOP/s is below the
+chip's peak before printing; achieved TFLOP/s and MFU are printed next to
+chunks/s so inflation is visible.
 
 The reference publishes no throughput numbers (SURVEY.md §6); the baseline
 used for `vs_baseline` is a measured-estimate of the reference's PyTorch
@@ -32,7 +39,7 @@ import json
 import os
 import time
 
-import numpy as np
+
 
 # "1b-class" default: large enough to exercise the MXU, small enough to
 # compile fast through the axon tunnel.  Override with BENCH_SCALE=7b later.
@@ -84,20 +91,17 @@ def _qtag() -> str:
     return f"_{QUANT}" if QUANT else ""
 
 
-def _tie(r, *vals):
-    """Tie EVERY input of the timed body to the loop-varying rng via an
-    optimization barrier.  This prevents two hoists that corrupt timing:
-      * the loop-invariant ViT encode + LLM prefill moving out of the scan
-        (they don't depend on the rng), leaving only the sampler timed —
-        the round-2 failure mode; and
-      * (quantized runs) the int8->bf16 dequant converts being hoisted and
-        materialized as a full bf16 weight copy (OOM at 7b, and
-        unrepresentative of per-request serving).
-    Returns (rng, vals...) with the same values, opaque to the optimizer."""
+def _fresh_params(params, r):
+    """Quantized runs only: barrier the int8 params to the per-iteration rng
+    so XLA does not hoist the int8->bf16 dequant converts out of the scan
+    and materialize a full bf16 weight copy (OOM at 7b, and
+    unrepresentative of per-request serving).  bf16 params pass through —
+    their HBM reads happen inside every matmul regardless."""
+    if not QUANT:
+        return params, r
     import jax
 
-    out = jax.lax.optimization_barrier((r, *vals))
-    return out[0], list(out[1:])
+    return jax.lax.optimization_barrier((params, r))
 
 
 # ---------------------------------------------------------------------------
@@ -260,31 +264,35 @@ def main_pi0():
     cfg = build_pi0(SCALE)
     params = _build_params(lambda: init_flow_vla(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
     B = int(os.environ.get("BENCH_BATCH", "1"))
-    ids = jnp.asarray(np.random.RandomState(0).randint(1, 30000, (B, 48)))
     tmask = jnp.ones((B, 48), jnp.int32)
     size = cfg.vit.image_size
-    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 3, size, size, 3), jnp.bfloat16)
     imasks = jnp.ones((B, 3), jnp.int32)
-    states = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.action_dim), jnp.bfloat16)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    def bench_n(params, ids, tmask, imgs, imasks, states, rng, n):
+    def bench_n(params, rng, n):
         def body(carry, r):
-            r, (p, i, tm, im, ms, st) = _tie(r, params, ids, tmask, imgs, imasks, states)
-            out = flow_vla_inference_action(p, cfg, i, tm, im, ms, st, r)
+            p, r = _fresh_params(params, r)
+            k_i, k_m, k_s, k_n = jax.random.split(r, 4)
+            # per-iteration inputs: nothing in the frame->chunk path is
+            # loop-invariant, so nothing can hoist out of the timed scan
+            ids = jax.random.randint(k_i, (B, 48), 1, 30000)
+            imgs = jax.random.normal(k_m, (B, 3, size, size, 3), jnp.bfloat16)
+            states = jax.random.normal(k_s, (B, cfg.action_dim), jnp.bfloat16)
+            out = flow_vla_inference_action(
+                p, cfg, ids, tmask, imgs, imasks, states, k_n
+            )
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
         return acc
 
-    f = jax.jit(bench_n, static_argnums=(7,))
-    dt = _time_scan(f, params, ids, tmask, imgs, imasks, states,
-                    jax.random.PRNGKey(3), iters=iters)
+    f = jax.jit(bench_n, static_argnums=(2,))
+    dt = _time_scan(f, params, jax.random.PRNGKey(3), iters=iters)
 
     # analytic FLOPs/chunk: 3 ViT views + MoT prefix prefill + num_flow_steps
     # Euler steps of the expert attending to the frozen prefix KV
     n_img_tok = (size // cfg.vit.patch_size) ** 2
-    s_pre = 3 * n_img_tok + ids.shape[1]
+    s_pre = 3 * n_img_tok + 48
     t_suf = cfg.chunk_size + 2  # state + time/cond + chunk tokens
     p_vit = _n_params(params["vlm"]["vit"])
     p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.llm)
@@ -320,28 +328,30 @@ def main_oft():
     params = _build_params(lambda: init_oft(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
     B = int(os.environ.get("BENCH_BATCH", "1"))
     nt = cfg.vlm.num_image_tokens
-    ids = np.random.RandomState(0).randint(1, 30000, (B, nt + 48))
-    ids[:, :nt] = IMAGE_TOKEN_INDEX
-    ids = jnp.asarray(ids)
-    valid = jnp.ones(ids.shape, jnp.int32)
+    S = nt + 48
+    valid = jnp.ones((B, S), jnp.int32)
+    is_img = (jnp.arange(S) < nt)[None, :]
     size = cfg.vlm.vit.image_size
-    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 1, size, size, 3), jnp.bfloat16)
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    def bench_n(params, ids, valid, imgs, rng, n):
+    def bench_n(params, rng, n):
         def body(carry, r):
-            r, (p, i, v, im) = _tie(r, params, ids, valid, imgs)
-            out = oft_inference_action(p, cfg, i, v, im, rng=r)
+            p, r = _fresh_params(params, r)
+            k_i, k_m, k_n = jax.random.split(r, 3)
+            ids = jnp.where(is_img, IMAGE_TOKEN_INDEX,
+                            jax.random.randint(k_i, (B, S), 1, 30000))
+            imgs = jax.random.normal(k_m, (B, 1, size, size, 3), jnp.bfloat16)
+            out = oft_inference_action(p, cfg, ids, valid, imgs, rng=k_n)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
         return acc
 
-    f = jax.jit(bench_n, static_argnums=(5,))
-    dt = _time_scan(f, params, ids, valid, imgs, jax.random.PRNGKey(3), iters=iters)
+    f = jax.jit(bench_n, static_argnums=(2,))
+    dt = _time_scan(f, params, jax.random.PRNGKey(3), iters=iters)
 
     # analytic FLOPs/chunk: ViT + one LLM pass over prompt + action segment
-    s = ids.shape[1] + cfg.chunk_size + (1 if cfg.use_proprio else 0)
+    s = S + cfg.chunk_size + (1 if cfg.use_proprio else 0)
     p_vit = _n_params(params["vlm"]["vit"])
     p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.vlm.llm)
     d_llm = cfg.vlm.llm.num_heads * cfg.vlm.llm.head_dim
@@ -368,12 +378,10 @@ def main():
     nt = cfg.vlm.num_image_tokens
     text_len = 48
     B = int(os.environ.get("BENCH_BATCH", "1"))
-    ids = np.random.RandomState(0).randint(1, 30000, (B, nt + text_len))
-    ids[:, :nt] = IMAGE_TOKEN_INDEX
-    ids = jnp.asarray(ids)
-    valid = jnp.ones(ids.shape, jnp.int32)
+    S = nt + text_len
+    valid = jnp.ones((B, S), jnp.int32)
+    is_img = (jnp.arange(S) < nt)[None, :]
     size = cfg.vlm.vit.image_size
-    imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 1, size, size, 3), jnp.bfloat16)
 
     # Timing notes (axon tunnel): block_until_ready does not reliably wait
     # and per-dispatch RPCs are expensive, so the iteration loop lives ON
@@ -382,20 +390,24 @@ def main():
     # bakes GBs of constants into the HLO and balloons compile time).
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    def bench_n(params, ids, valid, imgs, rng, n):
+    def bench_n(params, rng, n):
         def body(carry, r):
-            r, (p, i, v, im) = _tie(r, params, ids, valid, imgs)
-            out = cogact_inference_action(p, cfg, i, v, im, r)
+            p, r = _fresh_params(params, r)
+            k_i, k_m, k_n = jax.random.split(r, 3)
+            ids = jnp.where(is_img, IMAGE_TOKEN_INDEX,
+                            jax.random.randint(k_i, (B, S), 1, 30000))
+            imgs = jax.random.normal(k_m, (B, 1, size, size, 3), jnp.bfloat16)
+            out = cogact_inference_action(p, cfg, ids, valid, imgs, k_n)
             return carry + jnp.mean(out).astype(jnp.float32), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(rng, n))
         return acc
 
-    f = jax.jit(bench_n, static_argnums=(5,))
-    dt = _time_scan(f, params, ids, valid, imgs, jax.random.PRNGKey(3), iters=iters)
+    f = jax.jit(bench_n, static_argnums=(2,))
+    dt = _time_scan(f, params, jax.random.PRNGKey(3), iters=iters)
 
     # analytic FLOPs/chunk: ViT + LLM prefill + ddim_steps x CFG-pair DiT
-    s = ids.shape[1]
+    s = S
     p_vit = _n_params(params["vlm"]["vit"])
     p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.vlm.llm)
     p_dit = _n_params(params["action_head"])
