@@ -40,6 +40,8 @@ class CogActModelConfig(base_exp.Config):
     freeze_mm_projector: bool = False
     freeze_mm_vision: bool = True
     seed: int = 0
+    sampler: str = "ddim"  # 'dpm' = DPM-Solver++(2M); pair with ddim_steps=5
+    ddim_steps: int = 10
 
     def build_config(self) -> CogActConfig:
         return CogActConfig(
@@ -51,6 +53,8 @@ class CogActModelConfig(base_exp.Config):
             action_model_type=self.action_model_type,
             action_dim=self.action_dim,
             chunk_size=self.chunk_size,
+            sampler=self.sampler,
+            ddim_steps=self.ddim_steps,
         )
 
     def build_params(self, cfg: CogActConfig):

@@ -229,14 +229,29 @@ class NaVILAExp(base_exp.BaseExp):
 
 
 class NaVILAInferenceSession:
-    """History buffer + AR text action decoding (exp/navila_exp.py:243-330)."""
+    """History buffer + AR text action decoding (exp/navila_exp.py:243-330).
 
-    def __init__(self, exp: NaVILAExp, cfg, params, tokenizer):
+    ``engine``: optional shared ContinuousBatchingEngine — a fleet of
+    navigation sessions (one per robot) then coalesces its AR decode steps
+    into shared slot ticks instead of serializing whole generate() calls."""
+
+    def __init__(self, exp: NaVILAExp, cfg, params, tokenizer, engine=None):
         self.exp = exp
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.buffer = FrameHistoryBuffer(cfg.num_video_frames)
-        self.gen = exp.make_generate_fn(cfg, params)
+        self.engine = engine
+        self.gen = None if engine is not None else exp.make_generate_fn(cfg, params)
+
+    @staticmethod
+    def make_shared_engine(cfg, params, slots: int = 8, max_new_tokens: int = 48,
+                           max_prompt: int = 2048):
+        from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
+
+        return ContinuousBatchingEngine(
+            params["vlm"], cfg.vlm, slots=slots, max_prompt=max_prompt,
+            max_new=max_new_tokens, eos_token_id=0,
+        )
 
     def reset(self):
         self.buffer.reset()
@@ -247,16 +262,21 @@ class NaVILAInferenceSession:
 
         frames = self.buffer.add(frame)
         proc = self.exp.data.build_image_processor()
-        imgs = np.stack([preprocess_image(f, proc) for f in frames])[None]
+        imgs = np.stack([preprocess_image(f, proc) for f in frames])
         prompt = NAV_PROMPT.format(prompt=instruction)
         # one <image> tag covers the frame history: expand to frames*tokens
         ids = tokenizer_image_token(
             prompt, self.tokenizer,
             num_image_tokens=self.cfg.vlm.num_image_tokens * len(frames),
         )
+        if self.engine is not None:
+            toks = self.engine.submit(np.asarray(ids, np.int32), images=imgs)
+            if 0 in toks:  # eos
+                toks = toks[: toks.index(0)]
+            return self.tokenizer.decode(toks)
         ids = jnp.asarray(ids, jnp.int32)[None]
         valid = jnp.ones(ids.shape, jnp.int32)
-        tokens = self.gen(ids, valid, jnp.asarray(imgs), rng)
+        tokens = self.gen(ids, valid, jnp.asarray(imgs)[None], rng)
         return self.tokenizer.decode([int(t) for t in np.asarray(tokens)[0]])
 
 

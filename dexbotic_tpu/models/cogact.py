@@ -34,6 +34,10 @@ class CogActConfig:
     repeated_diffusion_steps: int = 4
     cfg_scale: float = 1.5
     ddim_steps: int = 10
+    # 'ddim' (reference parity) | 'dpm' (DPM-Solver++(2M): 2nd-order, same
+    # trained eps model; ~half the steps for DDIM-10's trajectory error —
+    # set ddim_steps=5 with it to halve the serial B=1 sampler chain)
+    sampler: str = "ddim"
     sampler_unroll: int = 1  # DDIM scan unroll (see DiTConfig.scan_unroll)
     dit_scan_unroll: int = 1  # DiT block-stack scan unroll
 
@@ -138,6 +142,13 @@ def cogact_inference_action(
     sched = _schedule(cfg)
     head = params["action_head"]
 
+    def sample(eps_fn, x0):
+        if cfg.sampler == "dpm":
+            return sched.dpm_solver_pp_2m(
+                eps_fn, x0, ddim_steps, unroll=cfg.sampler_unroll
+            )
+        return sched.ddim_sample(eps_fn, x0, ddim_steps, unroll=cfg.sampler_unroll)
+
     if cfg_scale > 1.0:
         uncond = jnp.broadcast_to(head["uncondition"][None, None, :], (B, 1, cog.shape[-1]))
         z = jnp.concatenate([cog[:, None, :].astype(jnp.float32), uncond.astype(jnp.float32)], axis=0)
@@ -146,15 +157,14 @@ def cogact_inference_action(
         def eps_fn(x, t):
             return dit_mod.dit_forward_with_cfg(head, cfg.dit, x, t, z, cfg_scale)
 
-        samples = sched.ddim_sample(eps_fn, noise2, ddim_steps, unroll=cfg.sampler_unroll)
-        samples = samples[:B]
+        samples = sample(eps_fn, noise2)[:B]
     else:
         z = cog[:, None, :].astype(jnp.float32)
 
         def eps_fn(x, t):
             return dit_mod.dit_forward(head, cfg.dit, x, t, z)
 
-        samples = sched.ddim_sample(eps_fn, noise, ddim_steps, unroll=cfg.sampler_unroll)
+        samples = sample(eps_fn, noise)
     return samples
 
 

@@ -104,6 +104,64 @@ class DiffusionSchedule:
         return x
 
 
+    def dpm_solver_pp_2m(
+        self,
+        eps_fn,
+        noise: jnp.ndarray,
+        steps: int = 5,
+        unroll: int = 1,
+    ) -> jnp.ndarray:
+        """DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095): deterministic
+        2nd-order multistep ODE solver in data-prediction space.  Same
+        trained epsilon model as DDIM, no retraining — but 2nd order means
+        ~5 steps match DDIM-10's trajectory error, halving the serial
+        sampler chain that dominates B=1 action latency.  Exposed as
+        ``CogActConfig.sampler='dpm'``; the reference only ships DDIM
+        (cogact action_model vendored diffusion).
+
+        Coefficients precomputed host-side in float64 over the same
+        respaced timestep grid as DDIM (`ddim_timesteps`); the final step
+        to the clean sample is first order (standard lower_order_final).
+        """
+        kept = ddim_timesteps(self.num_steps, steps)
+        ab_src = np.asarray(self.alphas_cumprod, np.float64)[kept][::-1]  # T->0
+        ab_tgt = np.concatenate([ab_src[1:], [1.0]])
+        a_s, s_s = np.sqrt(ab_src), np.sqrt(1.0 - ab_src)
+        a_t, s_t = np.sqrt(ab_tgt), np.sqrt(1.0 - ab_tgt)
+        with np.errstate(divide="ignore"):
+            lam_s = np.log(a_s / s_s)
+            lam_t = np.log(a_t / np.where(s_t == 0.0, 1e-300, s_t))
+        h = lam_t - lam_s  # > 0; inf at the terminal step
+        sig_ratio = np.where(s_s > 0, s_t / s_s, 0.0)
+        exp_neg_h = np.exp(-h)
+        coef = -a_t * (exp_neg_h - 1.0)
+        h_prev = np.concatenate([[np.inf], h[:-1]])
+        inv_2r = np.where(np.isfinite(h), h_prev / (2.0 * h), 0.0)
+        inv_2r = np.where(np.isfinite(inv_2r), inv_2r, 0.0)  # first step: 1st order
+
+        ts = jnp.asarray(kept[::-1], jnp.int32)
+        c = {k: jnp.asarray(v, jnp.float32) for k, v in {
+            "a_s": a_s, "s_s": s_s, "sig_ratio": sig_ratio,
+            "coef": coef, "inv_2r": inv_2r,
+        }.items()}
+        B = noise.shape[0]
+
+        def step(carry, i):
+            x, x0_prev = carry
+            t = jnp.full((B,), ts[i], jnp.int32)
+            eps = eps_fn(x, t).astype(jnp.float32)
+            x0 = (x - c["s_s"][i] * eps) / c["a_s"][i]
+            d = (1.0 + c["inv_2r"][i]) * x0 - c["inv_2r"][i] * x0_prev
+            x = c["sig_ratio"][i] * x + c["coef"][i] * d
+            return (x, x0), None
+
+        (x, _), _ = jax.lax.scan(
+            step, (noise.astype(jnp.float32), jnp.zeros_like(noise, jnp.float32)),
+            jnp.arange(steps), unroll=unroll,
+        )
+        return x
+
+
 def flow_euler_sample(
     v_fn,
     noise: jnp.ndarray,

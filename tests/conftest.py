@@ -21,5 +21,5 @@ jax.config.update("jax_platforms", "cpu")
 # compile-dominated — training-step grads at ~1-2 min each on first build)
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,3 +1,4 @@
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,3 +95,84 @@ def test_dit_condition_dropout():
     # with dropout rng, some rows use the uncondition embedding: just smoke
     out = dit_mod.dit_forward(p, cfg, x, t, z, drop_rng=jax.random.PRNGKey(4))
     assert out.shape == (8, 4, 4)
+
+
+def test_dpm_solver_pp_2m_beats_ddim_at_few_steps():
+    """DPM-Solver++(2M) at k steps tracks the probability-flow ODE far
+    closer than DDIM at the same k.  Analytic two-Gaussian-mixture score
+    (nonlinear, closed form) so the exact eps model is available; reference
+    solution = DDIM with the full 100-step schedule."""
+    import numpy as np
+
+    from dexbotic_tpu.ops.diffusion import DiffusionSchedule
+
+    sched = DiffusionSchedule.create(100)
+    ab = jnp.asarray(sched.alphas_cumprod, jnp.float32)
+    m1, m2, s = -1.0, 1.5, 0.35
+
+    def eps_fn(x, t):
+        a = jnp.sqrt(ab[t]).reshape(-1, *([1] * (x.ndim - 1)))
+        sig = jnp.sqrt(1.0 - ab[t]).reshape(-1, *([1] * (x.ndim - 1)))
+        var = a * a * s * s + sig * sig
+        logw1 = -0.5 * (x - a * m1) ** 2 / var
+        logw2 = -0.5 * (x - a * m2) ** 2 / var
+        r1 = jax.nn.sigmoid(logw1 - logw2)
+        mean = r1 * (a * m1) + (1 - r1) * (a * m2)
+        return sig * (x - mean) / var
+
+    noise = jnp.asarray(np.random.RandomState(0).randn(64, 1, 1), jnp.float32)
+    ref = sched.ddim_sample(eps_fn, noise, 100)
+    # mean |error| over samples: the right solver metric (max is dominated
+    # by single basin-boundary samples where every few-step solver is off)
+    for k in (5, 10):
+        e_ddim = float(jnp.mean(jnp.abs(sched.ddim_sample(eps_fn, noise, k) - ref)))
+        e_dpm = float(jnp.mean(jnp.abs(sched.dpm_solver_pp_2m(eps_fn, noise, k) - ref)))
+        assert e_dpm < e_ddim, (k, e_dpm, e_ddim)
+    # 2nd order pays: dpm-10 roughly halves ddim-10's error, and dpm-5
+    # lands in ddim-10's error ballpark (measured 0.102 vs 0.070)
+    e_ddim10 = float(jnp.mean(jnp.abs(sched.ddim_sample(eps_fn, noise, 10) - ref)))
+    e_dpm10 = float(jnp.mean(jnp.abs(sched.dpm_solver_pp_2m(eps_fn, noise, 10) - ref)))
+    e_dpm5 = float(jnp.mean(jnp.abs(sched.dpm_solver_pp_2m(eps_fn, noise, 5) - ref)))
+    assert e_dpm10 < 0.6 * e_ddim10
+    assert e_dpm5 < 1.6 * e_ddim10
+
+
+def test_cogact_dpm_sampler_config_dispatch():
+    """CogActConfig(sampler='dpm') runs end-to-end and differs from DDIM
+    only through the solver (same eps model, same initial noise)."""
+    import numpy as np
+
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+    from dexbotic_tpu.models.cogact import (
+        CogActConfig, cogact_inference_action, init_cogact,
+    )
+    from dexbotic_tpu.models.presets import LLM_TEST, VIT_TEST
+    from dexbotic_tpu.models.vlm import VLMConfig
+
+    base = CogActConfig(
+        vlm=VLMConfig(llm=LLM_TEST, vit=VIT_TEST), action_model_type="DiT-S",
+        action_dim=4, chunk_size=3,
+    )
+    params = init_cogact(jax.random.PRNGKey(0), base)
+    nt = base.vlm.num_image_tokens
+    ids = np.full((1, nt + 4), 7)
+    ids[0, :nt] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids)
+    valid = jnp.ones(ids.shape, jnp.int32)
+    imgs = jnp.asarray(np.random.RandomState(1).randn(1, 1, 28, 28, 3), jnp.float32)
+    noise = jnp.asarray(np.random.RandomState(2).randn(1, 3, 4), jnp.float32)
+
+    out_ddim = cogact_inference_action(
+        params, base, ids, valid, imgs, jax.random.PRNGKey(3), noise=noise)
+    dpm_cfg = dataclasses.replace(base, sampler="dpm", ddim_steps=5)
+    out_dpm = cogact_inference_action(
+        params, dpm_cfg, ids, valid, imgs, jax.random.PRNGKey(3), noise=noise)
+    assert out_dpm.shape == out_ddim.shape
+    assert np.isfinite(np.asarray(out_dpm)).all()
+    # a different solver actually ran (closeness is meaningless for an
+    # UNTRAINED eps net — solver accuracy is pinned by the analytic test
+    # above); determinism with injected noise must hold
+    assert float(jnp.max(jnp.abs(out_dpm - out_ddim))) > 0.0
+    out_dpm2 = cogact_inference_action(
+        params, dpm_cfg, ids, valid, imgs, jax.random.PRNGKey(9), noise=noise)
+    np.testing.assert_array_equal(np.asarray(out_dpm), np.asarray(out_dpm2))
