@@ -308,14 +308,55 @@ class ActionServer:
 
 
 class CogActServer(ActionServer):
+    """``fuse_preprocess=True`` moves pad-to-square + PIL-parity resize +
+    normalize ONTO the device (ops/image_ops.py: separable resample as two
+    einsums): the host only decodes the frame bytes and uploads raw uint8,
+    and the whole frame->chunk path is one jitted program (SURVEY §2.9
+    north star).  Falls back to the host C++ kernel when a request's frames
+    have mixed shapes (one compiled program per camera geometry)."""
+
     def __init__(self, exp, cfg, params, tokenizer, norms, host="0.0.0.0", port=7891,
-                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0):
+                 micro_batch: int = 0, micro_batch_window_ms: float = 5.0,
+                 fuse_preprocess: bool = False):
         super().__init__(host, port, micro_batch=micro_batch,
                          micro_batch_window_ms=micro_batch_window_ms)
         self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
         self.infer = exp.make_infer_fn(cfg, params)
         self.rng = jax.random.PRNGKey(0)
         self._prompt_cache: dict = {}
+        self.fuse_preprocess = fuse_preprocess
+        self._params = params
+        self._raw_infer: dict = {}
+
+    def _raw_infer_fn(self, in_hw: tuple, order: str, per: int):
+        """One jitted uint8-frames->chunk program per camera geometry."""
+        key = (in_hw, order, per)
+        fn = self._raw_infer.get(key)
+        if fn is None:
+            from dexbotic_tpu.models.cogact import cogact_inference_action
+            from dexbotic_tpu.ops.image_ops import make_device_preprocess
+
+            proc = self.exp.data.build_image_processor()
+            fill = tuple(int(x * 255) for x in proc.mean)
+            prep = make_device_preprocess(
+                in_hw, proc.size, resample=proc.resample, mean=proc.mean,
+                std=proc.std, rescale=proc.rescale, pad_to_square=True,
+                fill=fill,
+            )
+            cfg = self.cfg
+
+            @jax.jit
+            def _raw(params, ids, valid, raw_u8, r):
+                x = raw_u8[..., ::-1] if order == "bgr" else raw_u8
+                imgs = prep(x)
+                B = ids.shape[0]
+                imgs = imgs.reshape(B, per, *imgs.shape[1:])
+                return cogact_inference_action(params, cfg, ids, valid, imgs, r)
+
+            fn = self._raw_infer[key] = (
+                lambda ids, valid, raw, r: _raw(self._params, ids, valid, raw, r)
+            )
+        return fn
 
     def _prompt_ids(self, prompt: str) -> list:
         # robot loops re-send the same instruction every frame; cache the
@@ -367,12 +408,21 @@ class CogActServer(ActionServer):
             ids_np[b, : len(r)] = r
             valid_np[b, : len(r)] = 1
 
-        proc = self.exp.data.build_image_processor()
-        flat = _cogact_images(
-            [p for g in payload_groups for p in g], proc
-        )  # [Bp*per, size, size, 3]
-        imgs_np = flat.reshape(Bp, per, *flat.shape[1:])
         self.rng, r = jax.random.split(self.rng)
+        flat_payloads = [p for g in payload_groups for p in g]
+        if self.fuse_preprocess:
+            frames, order = _decode_frames(flat_payloads)
+            if len({f.shape for f in frames}) == 1:
+                raw = jnp.asarray(np.stack(frames))  # [Bp*per, H, W, 3] uint8
+                fn = self._raw_infer_fn(tuple(frames[0].shape[:2]), order, per)
+                out = np.asarray(jax.device_get(fn(
+                    jnp.asarray(ids_np), jnp.asarray(valid_np), raw, r
+                )))
+                return self._denorm(out)[:B]
+            # mixed frame shapes: fall through to the host kernel
+        proc = self.exp.data.build_image_processor()
+        flat = _cogact_images(flat_payloads, proc)  # [Bp*per, size, size, 3]
+        imgs_np = flat.reshape(Bp, per, *flat.shape[1:])
         out = np.asarray(
             jax.device_get(
                 self.infer(

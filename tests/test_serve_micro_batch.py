@@ -11,6 +11,7 @@ import io
 import json
 import urllib.request
 
+import jax
 import numpy as np
 from PIL import Image
 
@@ -162,3 +163,43 @@ def test_flow_server_micro_batch_coalesces():
         assert batched.shape == (2, 5, 7) and np.isfinite(batched).all()
     finally:
         httpd.shutdown()
+
+
+def test_fused_on_device_preprocess_matches_host_path():
+    """CogActServer(fuse_preprocess=True): raw uint8 upload + on-device
+    pad/resize/normalize produces the same actions as the host C++ kernel
+    path (both mirror PIL's clip8 two-pass, so pixel inputs agree to float
+    noise)."""
+    from PIL import Image as PILImage
+
+    exp = CogActExp(
+        model=CogActModelConfig(
+            llm_preset="test", vit_preset="test", action_model_type="DiT-S",
+            action_dim=7, chunk_size=4,
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        data=base_exp.DataConfig(image_processor="28", aug_policy="identity"),
+    )
+    cfg, params, norms = exp.load_for_inference()
+    tokenizer = exp.tokenizer.build_tokenizer()
+    host_srv = CogActServer(exp, cfg, params, tokenizer, norms,
+                            host="127.0.0.1", port=0)
+    dev_srv = CogActServer(exp, cfg, params, tokenizer, norms,
+                           host="127.0.0.1", port=0, fuse_preprocess=True)
+
+    buf = io.BytesIO()
+    rs = np.random.RandomState(3)
+    PILImage.fromarray(
+        rs.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    ).save(buf, "PNG")
+    frames = [("image", buf.getvalue())]
+    fields = {"text": "pick up the cube"}
+    # pin both servers' rng streams
+    host_srv.rng = jax.random.PRNGKey(11)
+    dev_srv.rng = jax.random.PRNGKey(11)
+    a_host = np.asarray(host_srv.get_response(fields, frames))
+    a_dev = np.asarray(dev_srv.get_response(fields, frames))
+    assert a_dev.shape == a_host.shape
+    np.testing.assert_allclose(a_dev, a_host, atol=2e-2)
+    # the fused program is cached per camera geometry
+    assert len(dev_srv._raw_infer) == 1
