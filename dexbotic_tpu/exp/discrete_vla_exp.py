@@ -69,6 +69,27 @@ class DiscreteVLAExp(base_exp.BaseExp):
 
         return cfg, params, loss_fn
 
+    def inference(self):
+        """HTTP text-action server; serve_micro_batch>0 enables the
+        continuous-batching decode engine (slot count = that value)."""
+        import json
+        import os
+
+        from dexbotic_tpu.exp.serve import DiscreteVLAServer
+
+        cfg = self.model.build_config()
+        params = self.prepare_inference_params(self.model.build_params(cfg))
+        tokenizer = self.tokenizer.build_tokenizer()
+        norms = None
+        if self.model.model_name_or_path:
+            p = os.path.join(self.model.model_name_or_path, "norm_stats.json")
+            if os.path.exists(p):
+                norms = json.load(open(p))["norm_stats"]["default"]
+        DiscreteVLAServer(
+            self, cfg, params, tokenizer, norms,
+            continuous_batching=self.serve_micro_batch,
+        ).run()
+
 
 if __name__ == "__main__":
     DiscreteVLAExp.main()

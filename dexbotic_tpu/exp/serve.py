@@ -547,6 +547,78 @@ class MUVLAServer(ActionServer):
         return self._decode_tokens(toks)
 
 
+class DiscreteVLAServer(ActionServer):
+    """Text-action serving for Discrete VLA (RT-2-style digit strings): the
+    reference's generic _get_response generate loop (base_exp.py:670-714)
+    with the parse -> sampled-retry contract of
+    discrete_vla_inference_action.  ``continuous_batching`` > 0 serves the
+    greedy decode through the slot engine (exp/decode_engine.py) so
+    concurrent robot clients coalesce at decode-step granularity; parse
+    failures fall back to the fused sampled-retry path."""
+
+    def __init__(self, exp, cfg, params, tokenizer, norms=None,
+                 host="0.0.0.0", port=7891, continuous_batching: int = 0):
+        super().__init__(host, port)
+        self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
+        self.params = params
+        self.eos = getattr(tokenizer, "eos_token_id", 0) or 0
+        self.rng = jax.random.PRNGKey(0)
+        self._rng_lock = threading.Lock()
+        self.engine = None
+        if continuous_batching > 0:
+            from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
+
+            self.concurrent = True
+            self.engine = ContinuousBatchingEngine(
+                params["vlm"], cfg.vlm, slots=continuous_batching,
+                max_new=cfg.max_new_tokens, eos_token_id=self.eos,
+            )
+
+    def _prepare(self, fields, files):
+        prompt = fields.get("text", "")
+        frames, order = _decode_frames([p for _, p in files])
+        proc = self.exp.data.build_image_processor()
+        imgs = preprocess_images_batch(frames, proc, channel_order=order)
+        ids = _cogact_prompt_ids(self.exp, self.cfg, self.tokenizer, prompt)
+        return np.asarray(ids, np.int32), imgs
+
+    def get_response(self, fields, files):
+        from dexbotic_tpu.models.discrete_vla import (
+            discrete_vla_inference_action, parse_action_text,
+        )
+
+        ids, imgs = self._prepare(fields, files)
+        if self.engine is not None:
+            toks = self.engine.submit(ids, images=imgs)
+            if self.eos in toks:
+                toks = toks[: toks.index(self.eos)]
+            text = self.tokenizer.decode(toks)
+            action = parse_action_text(text, self.cfg.action_dim, self.cfg.vocab_bins)
+            if action is None:  # rare: sampled retries through the fused path
+                action = self._fused_decode(ids, imgs)
+                text = ""
+        else:
+            action = self._fused_decode(ids, imgs)
+            text = ""
+        if self.norms is not None:
+            lo = np.asarray(self.norms["min"], np.float64)
+            hi = np.asarray(self.norms["max"], np.float64)
+            action = lo + (np.clip(action[: len(lo)], -1, 1) + 1.0) * 0.5 * (hi - lo)
+        return {"text": text, "actions": np.asarray(action).tolist()}
+
+    def _fused_decode(self, ids, imgs):
+        from dexbotic_tpu.models.discrete_vla import discrete_vla_inference_action
+
+        with self._rng_lock:
+            self.rng, r = jax.random.split(self.rng)
+        input_ids = jnp.asarray(ids)[None]
+        return discrete_vla_inference_action(
+            self.params, self.cfg, self.tokenizer, input_ids,
+            jnp.ones(input_ids.shape, jnp.int32), jnp.asarray(imgs)[None],
+            self.eos, rng=r,
+        )
+
+
 class FlowVLAServer(ActionServer):
     """pi0/pi0.5/DM0 serving: multi-view form posts with states; batched
     requests supported via 'batch_size' (exp/pi0_exp.py:343-514 surface)."""

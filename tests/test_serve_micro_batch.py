@@ -203,3 +203,48 @@ def test_fused_on_device_preprocess_matches_host_path():
     np.testing.assert_allclose(a_dev, a_host, atol=2e-2)
     # the fused program is cached per camera geometry
     assert len(dev_srv._raw_infer) == 1
+
+
+def test_discrete_vla_server_engine_and_fallback():
+    """DiscreteVLAServer: greedy decode through the continuous-batching
+    engine returns the parsed action when the text parses, and both modes
+    agree on the generated text when it does not parse (fallback path)."""
+    import dataclasses as dc
+
+    from dexbotic_tpu.exp.discrete_vla_exp import (
+        DiscreteVLAExp, DiscreteVLAModelConfig,
+    )
+    from dexbotic_tpu.exp.serve import DiscreteVLAServer
+    from dexbotic_tpu.models.discrete_vla import init_discrete_vla
+
+    exp = DiscreteVLAExp(
+        model=DiscreteVLAModelConfig(llm_preset="test", vit_preset="test"),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=96),
+        data=base_exp.DataConfig(image_processor="28", aug_policy="identity"),
+    )
+    cfg = dc.replace(
+        exp.model.build_config(), max_new_tokens=8, max_retries=1,
+    )
+    params = init_discrete_vla(jax.random.PRNGKey(0), cfg)
+    tokenizer = exp.tokenizer.build_tokenizer()
+
+    plain = DiscreteVLAServer(exp, cfg, params, tokenizer, host="127.0.0.1", port=0)
+    cb = DiscreteVLAServer(exp, cfg, params, tokenizer, host="127.0.0.1",
+                           port=0, continuous_batching=2)
+    assert cb.concurrent and cb.engine is not None
+    try:
+        buf = io.BytesIO()
+        Image.new("RGB", (28, 28), (40, 90, 160)).save(buf, "PNG")
+        frames = [("image", buf.getvalue())]
+        fields = {"text": "pick up the cube"}
+        r_plain = plain.get_response(fields, frames)
+        r_cb = cb.get_response(fields, frames)
+        assert len(r_plain["actions"]) == cfg.action_dim
+        assert len(r_cb["actions"]) == cfg.action_dim
+        # both paths run the same greedy model: when the engine path's text
+        # parses, the actions must agree; otherwise both fell back
+        if r_cb["text"]:
+            np.testing.assert_allclose(r_cb["actions"], r_plain["actions"],
+                                       atol=1e-6)
+    finally:
+        cb.engine.close()
