@@ -70,7 +70,11 @@ def _build_params(init_fn):
 
     if not QUANT:
         return init_fn()
-    assert QUANT == "int8", f"unknown BENCH_QUANT={QUANT!r}"
+    assert QUANT in ("int8", "w8a8"), f"unknown BENCH_QUANT={QUANT!r}"
+    if QUANT == "w8a8":
+        from dexbotic_tpu.ops import quant_matmul
+
+        quant_matmul.W8A8_MIN_ROWS = 2048  # batched prefill on the int8 MXU
     from dexbotic_tpu.ops.quant import quantize_params
 
     shapes = jax.eval_shape(lambda: quantize_params(init_fn(), in_place=False))

@@ -304,12 +304,19 @@ class BaseExp:
             else jnp.asarray(x),
             params,
         )
-        if self.inference_quantize == "int8":
+        if self.inference_quantize in ("int8", "w8a8"):
             from dexbotic_tpu.ops.quant import quantize_params
 
             params = quantize_params(
                 params, min_size=self.inference_quantize_min_size, in_place=True
             )
+            if self.inference_quantize == "w8a8":
+                # batched-prefill matmuls additionally run int8 activations
+                # on the int8 MXU (trace-time dispatch; configure before the
+                # serving program first compiles)
+                from dexbotic_tpu.ops import quant_matmul
+
+                quant_matmul.W8A8_MIN_ROWS = 2048
         elif self.inference_quantize:
             raise ValueError(f"unknown inference_quantize={self.inference_quantize!r}")
         return params

@@ -151,11 +151,40 @@ def quant_matmul(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray,
     return out[:M, :N]
 
 
+# W8A8: when set, quant_linear runs int8 activations x int8 weights on the
+# int8 MXU (2.5x bf16 peak, BENCH_NOTES int8 study) for matmuls with at
+# least this many activation rows — the BATCHED-prefill regime; below it
+# the MXU is latency-bound either dtype and the dequant path stays.  Read
+# at TRACE time: configure before the serving program first compiles
+# (exp inference_quantize="w8a8").  None = off (weight-only dequant).
+W8A8_MIN_ROWS: int | None = None
+
+
+def w8a8_matmul(x2: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """[M, K] activations x int8 [K, Np] weights via the int8 MXU.
+
+    Activations are quantized per-ROW (dynamic absmax -> int8) and weights
+    carry their per-COLUMN scales; the int32 accumulator is rescaled by
+    (row_scale x col_scale) on the way out, i.e. out[m, n] differs from the
+    fp32 product only by the two rounding steps (~0.5% relative).
+    """
+    N = s.shape[-1]
+    amax = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q[..., :N], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs * s.reshape(1, N).astype(jnp.float32)
+
+
 def quant_linear(p: dict, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Drop-in for nn.core.linear when p["w"] is a quantized {"q","s"} dict.
 
-    Dispatches to the Pallas kernel when the shape qualifies and the default
-    backend is TPU; otherwise falls back to the XLA dequant formulation
+    Dispatch order: W8A8 int8-MXU matmul when enabled and the row count
+    reaches W8A8_MIN_ROWS; else the Pallas int8-weight-streaming kernel
+    when the shape qualifies; else the XLA dequant formulation
     ((x @ q[:, :N]) * s — identical numerics up to fp32 association).
     """
     w = p["w"]
@@ -167,15 +196,18 @@ def quant_linear(p: dict, x: jnp.ndarray, interpret: bool = False) -> jnp.ndarra
     for d in lead:
         M *= d
     x2 = x.reshape(M, K)
-    use_kernel = interpret or (
-        KERNEL_DISPATCH
-        and jax.default_backend() == "tpu"
-        and quant_matmul_eligible(M, K, Np, x.dtype.itemsize)
-    )
-    if use_kernel:
-        out = quant_matmul(x2, q, s.astype(x.dtype), interpret=interpret)
+    if W8A8_MIN_ROWS is not None and M >= W8A8_MIN_ROWS:
+        out = w8a8_matmul(x2, q, s).astype(x.dtype)
     else:
-        out = (x2 @ q[..., :N].astype(x.dtype)) * s.reshape(1, N).astype(x.dtype)
+        use_kernel = interpret or (
+            KERNEL_DISPATCH
+            and jax.default_backend() == "tpu"
+            and quant_matmul_eligible(M, K, Np, x.dtype.itemsize)
+        )
+        if use_kernel:
+            out = quant_matmul(x2, q, s.astype(x.dtype), interpret=interpret)
+        else:
+            out = (x2 @ q[..., :N].astype(x.dtype)) * s.reshape(1, N).astype(x.dtype)
     out = out.reshape(*lead, N)
     if "b" in p:
         out = out + p["b"].astype(out.dtype)

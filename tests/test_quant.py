@@ -208,3 +208,33 @@ def test_quant_matmul_padded_weight():
     ref = (x @ d["q"][:, :N].astype(x.dtype)) * d["s"].astype(x.dtype)
     out = quant_linear({"w": d}, x, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_w8a8_matmul_accuracy_and_dispatch():
+    """w8a8_matmul: int8 x int8 with dynamic per-row activation scales stays
+    within ~1% relative of the fp32 product, and quant_linear dispatches to
+    it exactly when M >= W8A8_MIN_ROWS."""
+    from dexbotic_tpu.ops import quant_matmul
+    from dexbotic_tpu.ops.quant import quantize_weight
+    from dexbotic_tpu.ops.quant_matmul import quant_linear, w8a8_matmul
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(64, 128).astype(np.float32)
+    w = (rs.randn(128, 96) * 0.05).astype(np.float32)
+    p = {"w": quantize_weight(jnp.asarray(w))}
+    ref = x @ w
+    out = np.asarray(w8a8_matmul(jnp.asarray(x), p["w"]["q"], p["w"]["s"]))
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(out - ref) / denom) < 0.02
+
+    old = quant_matmul.W8A8_MIN_ROWS
+    try:
+        quant_matmul.W8A8_MIN_ROWS = 64
+        out_dispatch = np.asarray(quant_linear(p, jnp.asarray(x)))
+        np.testing.assert_allclose(out_dispatch, out, rtol=1e-5, atol=1e-5)
+        quant_matmul.W8A8_MIN_ROWS = 65  # below threshold -> dequant path
+        out_deq = np.asarray(quant_linear(p, jnp.asarray(x)))
+        # dequant path has no activation rounding: closer to fp32 ref
+        assert np.mean(np.abs(out_deq - ref)) <= np.mean(np.abs(out_dispatch - ref)) + 1e-6
+    finally:
+        quant_matmul.W8A8_MIN_ROWS = old
