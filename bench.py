@@ -51,8 +51,10 @@ QUANT = os.environ.get("BENCH_QUANT", "")
 
 # v5e nominal peak (bf16 MXU).  Weight-only int8 still computes in bf16
 # (XLA materializes dequantized operands; see BENCH_NOTES int8 study), so
-# the bf16 roof applies to every mode benched here.
-V5E_PEAK_TFLOPS = 197.0
+# the bf16 roof applies — except W8A8, whose big matmuls run the int8 MXU
+# (2x nominal / 415.8 measured TOPS): the roofline for the self-check is
+# the int8 peak then.
+V5E_PEAK_TFLOPS = 394.0 if QUANT == "w8a8" else 197.0
 
 
 def _build_params(init_fn):
