@@ -23,3 +23,9 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+def pytest_configure(config):
+    # `-m "not heavy"` = fast iteration profile (~1/3 the wall time);
+    # default runs everything.  Heavy = multi-step trainer/e2e compiles.
+    config.addinivalue_line("markers", "heavy: multi-minute compile-heavy e2e test")

@@ -61,6 +61,7 @@ def _make_exp(tmp_path, mini_suite):
     )
 
 
+@pytest.mark.heavy
 def test_cogact_exp_train_and_serve(tmp_path, mini_suite, monkeypatch):
     monkeypatch.chdir(tmp_path)
     exp = _make_exp(tmp_path, mini_suite)
@@ -130,6 +131,7 @@ def test_inference_single(tmp_path, mini_suite, monkeypatch, capsys):
     assert np.asarray(actions).shape == (4, 7)
 
 
+@pytest.mark.heavy
 def test_memvla_exp_episode_ordered_train(tmp_path, mini_suite, monkeypatch):
     """MemVLA exp end-to-end: episode-ordered schedule -> stateful trainer."""
     monkeypatch.chdir(tmp_path)

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
 from dexbotic_tpu.models.memvla import (
@@ -77,6 +78,7 @@ def test_memvla_loss_and_state_threading():
     assert int(state["cog"]["count"][0]) == 3
 
 
+@pytest.mark.heavy
 def test_memvla_grads():
     p = init_memvla(jax.random.PRNGKey(0), CFG)
     state = init_mem_state(CFG, batch=2)
@@ -90,6 +92,7 @@ def test_memvla_grads():
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.heavy
 def test_memvla_inference_memory_changes_actions():
     """Same frame must yield different actions once the bank holds history."""
     p = init_memvla(jax.random.PRNGKey(0), CFG)
@@ -121,6 +124,7 @@ def test_memvla_inference_memory_changes_actions():
     assert np.abs(np.asarray(a1) - np.asarray(a2)).max() > 1e-5
 
 
+@pytest.mark.heavy
 def test_memvla_stateful_trainer():
     """Bank state threads through the Trainer aux-state carry."""
     from dexbotic_tpu.exp.optim import OptimizerConfig

@@ -21,6 +21,7 @@ WORKER = textwrap.dedent("""
     assert multihost.maybe_initialize()
     import jax.numpy as jnp
     import numpy as np
+import pytest
     from dexbotic_tpu.exp.optim import OptimizerConfig
     from dexbotic_tpu.exp.trainer import Trainer, TrainerConfig
 
@@ -82,6 +83,7 @@ def _run_pair(tmp_path, resume: bool):
     return outs
 
 
+@pytest.mark.heavy
 def test_two_process_train_and_resume(tmp_path):
     outs = _run_pair(tmp_path, resume=False)
     assert "FINAL pid=0 step=2" in outs[0]
