@@ -3,6 +3,7 @@ global-batch assembly, primary-only checkpoint writes, optimizer-state
 restore across processes (the torchrun/DeepSpeed multi-node analogue,
 SURVEY.md §2.8)."""
 
+import pytest
 import os
 import socket
 import subprocess
