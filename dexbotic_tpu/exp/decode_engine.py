@@ -111,14 +111,14 @@ class ContinuousBatchingEngine:
 
     # ---- device programs --------------------------------------------------
 
-    def _prefill(self, bucket: int, with_images: bool, with_embeds: bool):
-        key = (bucket, with_images, with_embeds)
+    def _prefill(self, batch: int, bucket: int, with_images: bool, with_embeds: bool):
+        key = (batch, bucket, with_images, with_embeds)
         fn = self._prefill_fns.get(key)
         if fn is None:
             cfg = self.cfg
 
             def prefill(params, ids, valid, images, embeds):
-                cache = init_kv_cache(cfg.llm, 1, bucket, dtype=jnp.bfloat16)
+                cache = init_kv_cache(cfg.llm, batch, bucket, dtype=jnp.bfloat16)
                 hidden, cache = vlm_forward(
                     params, cfg, ids, valid,
                     images=images if with_images else None,
@@ -133,29 +133,24 @@ class ContinuousBatchingEngine:
             fn = self._prefill_fns[key] = jax.jit(prefill)
         return fn
 
-    def _install(self, cache, last_hidden, pcache, plast, slot):
-        """Scatter one prefilled row (length P-bucket) into the engine cache
-        at ``slot``, zeroing the rest of the row's occupancy."""
+    def _install(self, cache, last_hidden, pcache, plast, slots):
+        """Scatter B prefilled rows (length P-bucket) into the engine cache
+        at rows ``slots`` (int[B]), zeroing the rest of each row's
+        occupancy — ONE scatter per array, not one cache copy per slot."""
         C = cache["grp"].shape[1]
         new = dict(cache)
 
-        def pad_kv(a):  # [L, 1, bucket, H, D] -> [L, 1, C, H, D], zero tail
+        def pad_kv(a):  # [L, B, bucket, H, D] -> [L, B, C, H, D], zero tail
             return jnp.pad(a, [(0, 0), (0, 0), (0, C - a.shape[2]), (0, 0), (0, 0)])
 
-        def pad_row(a):  # [1, bucket] -> [1, C]; zeros clear stale occupancy
+        def pad_row(a):  # [B, bucket] -> [B, C]; zeros clear stale occupancy
             return jnp.pad(a, [(0, 0), (0, C - a.shape[1])])
 
-        new["k"] = jax.lax.dynamic_update_slice(
-            cache["k"], pad_kv(pcache["k"]).astype(cache["k"].dtype), (0, slot, 0, 0, 0)
-        )
-        new["v"] = jax.lax.dynamic_update_slice(
-            cache["v"], pad_kv(pcache["v"]).astype(cache["v"].dtype), (0, slot, 0, 0, 0)
-        )
+        new["k"] = cache["k"].at[:, slots].set(pad_kv(pcache["k"]).astype(cache["k"].dtype))
+        new["v"] = cache["v"].at[:, slots].set(pad_kv(pcache["v"]).astype(cache["v"].dtype))
         for f in ("grp", "valid", "seg"):
-            new[f] = jax.lax.dynamic_update_slice(cache[f], pad_row(pcache[f]), (slot, 0))
-        last_hidden = jax.lax.dynamic_update_slice(
-            last_hidden, plast.astype(last_hidden.dtype), (slot, 0)
-        )
+            new[f] = cache[f].at[slots].set(pad_row(pcache[f]))
+        last_hidden = last_hidden.at[slots].set(plast.astype(last_hidden.dtype))
         return new, last_hidden
 
     def _make_step(self):
@@ -218,48 +213,73 @@ class ContinuousBatchingEngine:
         self._wake.set()
         self._thread.join(timeout=5)
 
-    def _admit(self, req: _Request, slot: int):
-        L = req.ids.shape[0]
-        bucket = min(_bucket(max(L, 1)), self.P)
-        ids = np.zeros((1, bucket), np.int32)
-        ids[0, :L] = req.ids
-        valid = np.zeros((1, bucket), np.int32)
-        valid[0, :L] = 1
+    def _admit_batch(self, reqs: list, slots: list, bucket: int):
+        """ONE padded prefill call + one cache scatter for a whole admission
+        burst (requests grouped by compatible bucket/aux shapes): admitting
+        a fleet's worth of queued requests costs one dispatch, not N."""
+        B = len(reqs)
+        ids = np.zeros((B, bucket), np.int32)
+        valid = np.zeros((B, bucket), np.int32)
+        for i, r in enumerate(reqs):
+            L = r.ids.shape[0]
+            ids[i, :L] = r.ids
+            valid[i, :L] = 1
         embeds = None
-        if req.embeds is not None:
+        if reqs[0].embeds is not None:
             # keep the caller's prefill dtype (float32 matches the fused
             # generate() path bit-for-bit; pass bf16 embeds for bf16 serving)
-            embeds = np.zeros((1, bucket, req.embeds.shape[-1]), req.embeds.dtype)
-            embeds[0, :L] = req.embeds
+            embeds = np.zeros((B, bucket, reqs[0].embeds.shape[-1]),
+                              reqs[0].embeds.dtype)
+            for i, r in enumerate(reqs):
+                embeds[i, : r.ids.shape[0]] = r.embeds
             embeds = jnp.asarray(embeds)
-        images = None if req.images is None else jnp.asarray(req.images)[None]
-        fn = self._prefill(bucket, images is not None, embeds is not None)
+        images = None
+        if reqs[0].images is not None:
+            images = jnp.asarray(np.stack([np.asarray(r.images) for r in reqs]))
+        fn = self._prefill(B, bucket, images is not None, embeds is not None)
         pcache, plast = fn(self.params, jnp.asarray(ids), jnp.asarray(valid),
                            images, embeds)
         self.cache, self.last_hidden = self._install_fn(
-            self.cache, self.last_hidden, pcache, plast, slot
+            self.cache, self.last_hidden, pcache, plast,
+            jnp.asarray(slots, jnp.int32),
         )
-        self.prompt_len[slot] = L
-        self.n_dec[slot] = 0
-        self.live[slot] = True
-        self.reqs[slot] = req
-        req.slot = slot
+        for r, slot in zip(reqs, slots):
+            self.prompt_len[slot] = r.ids.shape[0]
+            self.n_dec[slot] = 0
+            self.live[slot] = True
+            self.reqs[slot] = r
+            r.slot = slot
 
     def _loop(self):
         while not self._stop:
-            # admit as many queued requests as there are free slots
-            for slot in range(self.S):
-                if self.live[slot]:
-                    continue
+            # admit queued requests into free slots — grouped by prefill
+            # signature so each group is ONE batched prefill dispatch
+            free = [s for s in range(self.S) if not self.live[s]]
+            pending = []
+            while len(pending) < len(free):
                 try:
-                    req = self._queue.get_nowait()
+                    pending.append(self._queue.get_nowait())
                 except queue.Empty:
                     break
-                try:
-                    self._admit(req, slot)
-                except Exception as e:  # noqa: BLE001
-                    req.error = e
-                    req.event.set()
+            if pending:
+                groups: dict = {}
+                for r in pending:
+                    bucket = min(_bucket(max(r.ids.shape[0], 1)), self.P)
+                    sig = (
+                        bucket,
+                        None if r.images is None else np.asarray(r.images).shape,
+                        None if r.embeds is None else r.embeds.shape[-1],
+                    )
+                    groups.setdefault(sig, []).append(r)
+                it = iter(free)
+                for (bucket, _, _), reqs in groups.items():
+                    slots = [next(it) for _ in reqs]
+                    try:
+                        self._admit_batch(reqs, slots, bucket)
+                    except Exception as e:  # noqa: BLE001
+                        for r in reqs:
+                            r.error = e
+                            r.event.set()
             if not self.live.any():
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
