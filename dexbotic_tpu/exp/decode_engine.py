@@ -28,6 +28,14 @@ XLA needs static shapes, so continuous batching is expressed as:
 
 Two compiled programs total (prefill per bucket + one step program) — no
 per-request compilation, no head-of-line blocking by long generations.
+
+Optional ``prefill_chunk``: admission feeds the prompt through the prefill
+cache ``chunk`` tokens at a time (embed/ViT one dispatch up front; each LLM
+chunk writes k/v at its column range via write_cols and lets grp/positions
+auto-continue from the cache's valid count) and runs one decode tick for
+the already-live slots between chunks — a long prefill no longer stalls
+in-flight generations for its whole duration (vLLM-style chunked prefill,
+expressed with static shapes).
 """
 
 from __future__ import annotations
@@ -80,12 +88,20 @@ class ContinuousBatchingEngine:
                  max_prompt: int = 512, max_new: int = 64,
                  eos_token_id: int = 2, pad_token_id: int = 0,
                  temperature: float = 0.0, steps_per_tick: int = 4,
+                 prefill_chunk: Optional[int] = None,
                  rng: Optional[jax.Array] = None):
         self.params, self.cfg = params, cfg
         self.S, self.P, self.N = slots, max_prompt, max_new
         self.eos, self.pad = eos_token_id, pad_token_id
         self.temperature = temperature
         self.k = steps_per_tick
+        # chunked prefill: feed admissions through the prefill cache
+        # ``prefill_chunk`` tokens at a time, running one decode tick for the
+        # already-live slots between chunks.  Bounds head-of-line decode
+        # latency under admission bursts (a 512-token prefill no longer
+        # stalls in-flight generations for its whole duration).  None =
+        # one-shot prefill (lowest total admission cost).
+        self.chunk = None if not prefill_chunk else int(prefill_chunk)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
 
         C = self.P + self.N
@@ -98,6 +114,11 @@ class ContinuousBatchingEngine:
         self.live = np.zeros(slots, bool)
         self.reqs: list[Optional[_Request]] = [None] * slots
         self.batched_steps = 0  # observability: ticks that served >1 slot
+        # observability: wall-clock of each decode tick (bounded); the max
+        # inter-tick gap while slots are live is the head-of-line stall an
+        # in-flight generation sees during admissions (bench_decode_engine
+        # BENCH_HOL mode reads this to quantify chunked-prefill admission)
+        self.tick_times: list[float] = []
 
         self._queue: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
@@ -131,6 +152,50 @@ class ContinuousBatchingEngine:
                 return cache, last
 
             fn = self._prefill_fns[key] = jax.jit(prefill)
+        return fn
+
+    def _embed_fn(self):
+        """ids(+images) -> spliced prompt embeds [B, bucket, H].  The ViT
+        encode is one dispatch regardless of chunking; only the LLM prefill
+        is chunked."""
+        fn = getattr(self, "_embed_jit", None)
+        if fn is None:
+            from dexbotic_tpu.models.vlm import encode_images, splice_image_embeds
+
+            cfg = self.cfg
+
+            def embed(params, ids, images):
+                if images is None:
+                    return embed_tokens(params["llm"], cfg.llm, ids)
+                feats = encode_images(params, cfg, images)
+                return splice_image_embeds(params, cfg, ids, feats)
+
+            fn = self._embed_jit = jax.jit(embed, static_argnums=())
+        return fn
+
+    def _chunk_fn(self):
+        """One prefill chunk: run ``emb[:, off:off+c]`` against the partial
+        prefill cache (vlm_forward auto-continues grp/positions from the
+        cache's valid count), write k/v at columns off..off+c-1 via
+        write_cols, and keep the running last-valid hidden state."""
+        fn = getattr(self, "_chunk_jit", None)
+        if fn is None:
+            cfg = self.cfg
+
+            def chunk(params, emb, valid, off, lens, cache, last):
+                B, c = emb.shape[:2]
+                hidden, cache = vlm_forward(
+                    params, cfg, jnp.zeros((B, c), jnp.int32), valid,
+                    inputs_embeds=emb, cache=cache, update_cache=True,
+                    write_cols=jnp.full((B,), off, jnp.int32),
+                )
+                rel = jnp.clip(lens - 1 - off, 0, c - 1)
+                cand = jnp.take_along_axis(hidden, rel[:, None, None], axis=1)[:, 0]
+                in_chunk = (lens - 1 >= off) & (lens - 1 < off + c)
+                last = jnp.where(in_chunk[:, None], cand.astype(last.dtype), last)
+                return cache, last
+
+            fn = self._chunk_jit = jax.jit(chunk)
         return fn
 
     def _install(self, cache, last_hidden, pcache, plast, slots):
@@ -236,9 +301,30 @@ class ContinuousBatchingEngine:
         images = None
         if reqs[0].images is not None:
             images = jnp.asarray(np.stack([np.asarray(r.images) for r in reqs]))
-        fn = self._prefill(B, bucket, images is not None, embeds is not None)
-        pcache, plast = fn(self.params, jnp.asarray(ids), jnp.asarray(valid),
-                           images, embeds)
+        if self.chunk and self.chunk < bucket:
+            # chunked admission: embed once, then feed the LLM prefill in
+            # ``chunk``-token slices with a decode tick between slices so
+            # in-flight generations keep moving during long prefills
+            if embeds is None:
+                embeds = self._embed_fn()(self.params, jnp.asarray(ids), images)
+            pcache = init_kv_cache(self.cfg.llm, B, bucket, dtype=jnp.bfloat16)
+            plast = jnp.zeros((B, self.cfg.llm.hidden_size), jnp.bfloat16)
+            lens = jnp.asarray([r.ids.shape[0] for r in reqs], jnp.int32)
+            needed = int(max(r.ids.shape[0] for r in reqs))
+            chunk_fn = self._chunk_fn()
+            for off in range(0, needed, self.chunk):
+                c = min(self.chunk, bucket - off)
+                pcache, plast = chunk_fn(
+                    self.params, embeds[:, off:off + c],
+                    jnp.asarray(valid[:, off:off + c]), np.int32(off), lens,
+                    pcache, plast,
+                )
+                if off + c < needed:
+                    self._decode_tick()
+        else:
+            fn = self._prefill(B, bucket, images is not None, embeds is not None)
+            pcache, plast = fn(self.params, jnp.asarray(ids), jnp.asarray(valid),
+                               images, embeds)
         self.cache, self.last_hidden = self._install_fn(
             self.cache, self.last_hidden, pcache, plast,
             jnp.asarray(slots, jnp.int32),
@@ -284,49 +370,60 @@ class ContinuousBatchingEngine:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
+            self._decode_tick()
 
-            if int(self.live.sum()) > 1:
-                self.batched_steps += 1
-            self.rng, r = jax.random.split(self.rng)
-            done = jnp.asarray(~self.live | (self.n_dec >= self._max_new_arr()))
-            try:
-                self.cache, self.last_hidden, n_dec, done, toks = self._step_fn(
-                    self.params, self.cache, self.last_hidden,
-                    jnp.asarray(self.prompt_len), jnp.asarray(self.n_dec), done,
-                    jnp.asarray(self._max_new_arr()), r, self.k,
-                )
-                toks = np.asarray(jax.device_get(toks))  # [k, S]
-                self.n_dec = np.array(jax.device_get(n_dec))  # writable copy
-                done_np = np.asarray(jax.device_get(done))
-            except Exception as e:  # noqa: BLE001
-                # fail every in-flight request rather than hanging clients
-                for slot in range(self.S):
-                    req = self.reqs[slot]
-                    if req is not None:
-                        req.error = e
-                        self.live[slot] = False
-                        self.reqs[slot] = None
-                        req.event.set()
-                continue
+    def _decode_tick(self):
+        """One batched decode dispatch (``steps_per_tick`` tokens) for every
+        live slot, then host-side retire.  Called from the engine loop and
+        from inside chunked admissions (between prefill chunks)."""
+        if not self.live.any():
+            return
+        if len(self.tick_times) < 65536:
+            import time as _time
+
+            self.tick_times.append(_time.perf_counter())
+        if int(self.live.sum()) > 1:
+            self.batched_steps += 1
+        self.rng, r = jax.random.split(self.rng)
+        done = jnp.asarray(~self.live | (self.n_dec >= self._max_new_arr()))
+        try:
+            self.cache, self.last_hidden, n_dec, done, toks = self._step_fn(
+                self.params, self.cache, self.last_hidden,
+                jnp.asarray(self.prompt_len), jnp.asarray(self.n_dec), done,
+                jnp.asarray(self._max_new_arr()), r, self.k,
+            )
+            toks = np.asarray(jax.device_get(toks))  # [k, S]
+            self.n_dec = np.array(jax.device_get(n_dec))  # writable copy
+            done_np = np.asarray(jax.device_get(done))
+        except Exception as e:  # noqa: BLE001
+            # fail every in-flight request rather than hanging clients
             for slot in range(self.S):
                 req = self.reqs[slot]
-                if req is None or not self.live[slot]:
-                    continue
-                for t in toks[:, slot]:
-                    if len(req.tokens) >= req.max_new or (
-                        req.tokens and req.tokens[-1] == self.eos
-                    ):
-                        break
-                    req.tokens.append(int(t))
-                finished = (
-                    done_np[slot]
-                    or len(req.tokens) >= req.max_new
-                    or (req.tokens and req.tokens[-1] == self.eos)
-                )
-                if finished:
+                if req is not None:
+                    req.error = e
                     self.live[slot] = False
                     self.reqs[slot] = None
                     req.event.set()
+            return
+        for slot in range(self.S):
+            req = self.reqs[slot]
+            if req is None or not self.live[slot]:
+                continue
+            for t in toks[:, slot]:
+                if len(req.tokens) >= req.max_new or (
+                    req.tokens and req.tokens[-1] == self.eos
+                ):
+                    break
+                req.tokens.append(int(t))
+            finished = (
+                done_np[slot]
+                or len(req.tokens) >= req.max_new
+                or (req.tokens and req.tokens[-1] == self.eos)
+            )
+            if finished:
+                self.live[slot] = False
+                self.reqs[slot] = None
+                req.event.set()
 
     def _max_new_arr(self):
         out = np.full(self.S, self.N, np.int32)

@@ -245,12 +245,16 @@ class NaVILAInferenceSession:
 
     @staticmethod
     def make_shared_engine(cfg, params, slots: int = 8, max_new_tokens: int = 48,
-                           max_prompt: int = 2048):
+                           max_prompt: int = 2048, prefill_chunk: int = 0):
         from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
 
+        # prefill_chunk: NaVILA history prompts run to 2k tokens — chunked
+        # admission (e.g. 512) keeps the fleet's in-flight decodes ticking
+        # during those long prefills (exp/decode_engine.py docstring)
         return ContinuousBatchingEngine(
             params["vlm"], cfg.vlm, slots=slots, max_prompt=max_prompt,
             max_new=max_new_tokens, eos_token_id=0,
+            prefill_chunk=prefill_chunk or None,
         )
 
     def reset(self):

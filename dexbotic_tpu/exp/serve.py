@@ -479,7 +479,8 @@ class MUVLAServer(ActionServer):
     granularity and the per-request fuse/prefill stays pipelined."""
 
     def __init__(self, exp, cfg, params, tokenizer, host="0.0.0.0", port=7891,
-                 max_new_tokens: int = 32, continuous_batching: int = 0):
+                 max_new_tokens: int = 32, continuous_batching: int = 0,
+                 prefill_chunk: int = 0):
         super().__init__(host, port)
         self.exp, self.cfg, self.tokenizer = exp, cfg, tokenizer
         self.max_new_tokens = max_new_tokens
@@ -506,6 +507,7 @@ class MUVLAServer(ActionServer):
                 params, cfg.vlm, slots=continuous_batching,
                 max_new=max_new_tokens,
                 eos_token_id=getattr(tokenizer, "eos_token_id", 0) or 0,
+                prefill_chunk=prefill_chunk or None,
             )
 
     def _prepare(self, fields, files):
@@ -557,7 +559,8 @@ class DiscreteVLAServer(ActionServer):
     failures fall back to the fused sampled-retry path."""
 
     def __init__(self, exp, cfg, params, tokenizer, norms=None,
-                 host="0.0.0.0", port=7891, continuous_batching: int = 0):
+                 host="0.0.0.0", port=7891, continuous_batching: int = 0,
+                 prefill_chunk: int = 0):
         super().__init__(host, port)
         self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
         self.params = params
@@ -572,6 +575,7 @@ class DiscreteVLAServer(ActionServer):
             self.engine = ContinuousBatchingEngine(
                 params["vlm"], cfg.vlm, slots=continuous_batching,
                 max_new=cfg.max_new_tokens, eos_token_id=self.eos,
+                prefill_chunk=prefill_chunk or None,
             )
 
     def _prepare(self, fields, files):

@@ -10,6 +10,12 @@ compute-bound.
 
 Run: python script/bench_decode_engine.py      (real chip)
 Env: BENCH_SCALE=test|1b  BENCH_SLOTS=8  BENCH_NEW=32  BENCH_CLIENTS=8
+
+BENCH_HOL=1: head-of-line latency mode — one victim client decodes a long
+generation while long-prompt admissions arrive; reports the victim-visible
+max inter-tick stall for one-shot vs chunked (BENCH_CHUNK, default 256)
+prefill.  Chunked admission interleaves decode ticks between prompt
+chunks, so the stall should drop to ~chunk/prompt_len of the one-shot gap.
 """
 
 from __future__ import annotations
@@ -120,5 +126,81 @@ def main():
     })
 
 
+def main_hol():
+    """Max decode stall seen by an in-flight generation during admissions."""
+    from dexbotic_tpu.constants import IMAGE_TOKEN_INDEX
+    from dexbotic_tpu.exp.decode_engine import ContinuousBatchingEngine
+    from dexbotic_tpu.models.vlm import init_vlm
+
+    cfg = build()
+    params = init_vlm(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    nt = cfg.num_image_tokens
+    rs = np.random.RandomState(0)
+    size = cfg.vit.image_size
+    plen = int(os.environ.get("BENCH_PROMPT", "1024"))  # long text prompts
+    chunk = int(os.environ.get("BENCH_CHUNK", "256"))
+
+    def long_prompt():
+        ids = rs.randint(1, 30000, nt + plen)
+        ids[:nt] = IMAGE_TOKEN_INDEX
+        return ids, rs.randn(1, size, size, 3).astype(np.float32)
+
+    victim = long_prompt()
+    admits = [long_prompt() for _ in range(4)]
+    out = {}
+    for label, pc in (("oneshot", None), ("chunked", chunk)):
+        eng = ContinuousBatchingEngine(
+            params, cfg, slots=SLOTS, max_prompt=_cap(nt + plen), max_new=NEW,
+            eos_token_id=-1, steps_per_tick=1, prefill_chunk=pc,
+        )
+        def scenario(new):
+            """Victim decodes; a 4-request burst admits mid-generation."""
+            t = threading.Thread(
+                target=lambda: eng.submit(victim[0], images=victim[1],
+                                          max_new=new, timeout=1800))
+            t.start()
+            while len(eng.tick_times) < 2:  # victim decoding
+                time.sleep(0.005)
+            threads = [
+                threading.Thread(
+                    target=lambda p=p: eng.submit(p[0], images=p[1], max_new=new,
+                                                  timeout=1800))
+                for p in admits
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            t.join()
+
+        # warm run covers every program incl. the burst-admission batch
+        # shapes (a mid-measurement XLA compile would swamp the stall)
+        scenario(4)
+        eng.tick_times.clear()
+        scenario(NEW)
+        ticks = np.asarray(eng.tick_times)
+        gaps = np.diff(ticks) * 1e3
+        out[label] = {
+            "max_stall_ms": round(float(gaps.max()), 1),
+            "p50_tick_ms": round(float(np.median(gaps)), 1),
+            "ticks": int(len(ticks)),
+        }
+        eng.close()
+    print({
+        "scale": SCALE, "prompt_tokens": nt + plen, "chunk": chunk,
+        "new_tokens": NEW, **{f"{k}_{m}": v for k, d in out.items()
+                              for m, v in d.items()},
+        "stall_reduction": round(
+            out["oneshot"]["max_stall_ms"] / max(out["chunked"]["max_stall_ms"], 1e-6), 2),
+    })
+
+
+def _cap(n: int, mult: int = 64) -> int:
+    return -(-n // mult) * mult
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_HOL"):
+        main_hol()
+    else:
+        main()

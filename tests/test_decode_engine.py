@@ -112,6 +112,48 @@ def test_engine_matches_generate_greedy():
         eng.close()
 
 
+def test_engine_chunked_prefill_matches_generate():
+    """prefill_chunk: admission through chunk-sized incremental prefills
+    (decode ticks interleaved) must produce the same greedy tokens as the
+    one-shot prefill path / the fused generate()."""
+    params = init_vlm(jax.random.PRNGKey(0), VLM)
+    rs = np.random.RandomState(7)
+    prompts = [_prompt(rs, t) for t in (23, 4, 11)]
+    T = 4
+
+    expected = []
+    for ids, img in prompts:
+        toks, _ = generate(
+            params, VLM, jnp.asarray(ids)[None], jnp.ones((1, len(ids)), jnp.int32),
+            jnp.asarray(img)[None], max_new_tokens=T, eos_token_id=-1,
+            temperature=0.0,
+        )
+        expected.append(np.asarray(toks)[0].tolist())
+
+    eng = ContinuousBatchingEngine(
+        params, VLM, slots=2, max_prompt=64, max_new=T,
+        eos_token_id=-1, temperature=0.0, steps_per_tick=1, prefill_chunk=16,
+    )
+    try:
+        # submit the longest prompt first so later admissions interleave
+        # decode ticks for it between their prefill chunks
+        results = [None] * len(prompts)
+
+        def run(i):
+            ids, img = prompts[i]
+            results[i] = eng.submit(ids, images=img, max_new=T, timeout=300)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i, exp in enumerate(expected):
+            assert results[i] == exp, f"prompt {i}: {results[i]} != {exp}"
+    finally:
+        eng.close()
+
+
 def test_engine_eos_stops_early():
     params = init_vlm(jax.random.PRNGKey(0), VLM)
     rs = np.random.RandomState(3)

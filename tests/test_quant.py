@@ -238,3 +238,48 @@ def test_w8a8_matmul_accuracy_and_dispatch():
         assert np.mean(np.abs(out_deq - ref)) <= np.mean(np.abs(out_dispatch - ref)) + 1e-6
     finally:
         quant_matmul.W8A8_MIN_ROWS = old
+
+
+def test_w8a8_end_task_action_quality():
+    """End-task quality gate for W8A8 batched prefill (TODO round-3): the
+    full CogACT frame->chunk program with EVERY eligible matmul forced onto
+    the int8-activation path must stay close to the fp32 policy — and the
+    extra error vs weight-only int8 must be modest.  This is the proxy this
+    environment can measure (success-rate eval needs libero + checkpoints);
+    the serving default stays weight-only until real-checkpoint replay
+    exists, with W8A8 opt-in (exp inference_quantize="w8a8")."""
+    from dexbotic_tpu.ops import quant_matmul
+
+    cfg = CogActConfig(vlm=VLM, action_model_type="DiT-S", action_dim=7, chunk_size=4)
+    p = init_cogact(jax.random.PRNGKey(0), cfg)
+    nt = VLM.num_image_tokens
+    ids = np.random.RandomState(3).randint(1, 100, (2, nt + 5))
+    ids[:, :nt] = IMAGE_TOKEN_INDEX
+    ids = jnp.asarray(ids)
+    valid = jnp.ones(ids.shape, jnp.int32)
+    imgs = jax.random.normal(jax.random.PRNGKey(4), (2, 1, 28, 28, 3))
+
+    exact = cogact_inference_action(p, cfg, ids, valid, imgs, jax.random.PRNGKey(5))
+    qp = dict(p, vlm=quantize_params(p["vlm"], min_size=0))
+
+    old = quant_matmul.W8A8_MIN_ROWS
+    try:
+        quant_matmul.W8A8_MIN_ROWS = None
+        wonly = cogact_inference_action(qp, cfg, ids, valid, imgs, jax.random.PRNGKey(5))
+        quant_matmul.W8A8_MIN_ROWS = 1  # force int8 activations everywhere
+        w8a8 = cogact_inference_action(qp, cfg, ids, valid, imgs, jax.random.PRNGKey(5))
+    finally:
+        quant_matmul.W8A8_MIN_ROWS = old
+
+    e = np.asarray(exact).ravel()
+    for out in (wonly, w8a8):
+        assert np.isfinite(np.asarray(out)).all()
+    q8 = np.asarray(w8a8).ravel()
+    qw = np.asarray(wonly).ravel()
+    cos8 = float(np.dot(e, q8) / (np.linalg.norm(e) * np.linalg.norm(q8)))
+    cosw = float(np.dot(e, qw) / (np.linalg.norm(e) * np.linalg.norm(qw)))
+    assert cos8 > 0.98, (cos8, cosw)
+    # activation rounding may add error on top of weight rounding, but not
+    # catastrophically (W8A8 serving runs it only on >=2048-row prefills;
+    # here we force it on every matmul incl. tiny DiT steps — worst case)
+    assert (1 - cos8) < 8 * max(1 - cosw, 1e-4), (cos8, cosw)
