@@ -159,6 +159,7 @@ def check_and_report(metric, B, dt, flops_per_chunk, baseline):
         "value": round(chunks_per_sec, 3),
         "unit": "chunks/s/chip",
         "vs_baseline": round(chunks_per_sec / baseline, 3),
+        "batch": B,
         "achieved_tflops": round(tflops, 1),
         "mfu": round(mfu, 3),
         "tflop_per_chunk": round(flops_per_chunk / 1e12, 3),
@@ -170,6 +171,13 @@ def check_and_report(metric, B, dt, flops_per_chunk, baseline):
 # smaller backbones scale roughly linearly in LLM FLOPs.  ESTIMATE — the
 # reference publishes no throughput numbers (BASELINE.md).
 BASELINE_CHUNKS_PER_SEC = {"test": 200.0, "1b": 25.0, "2b": 15.0, "7b": 7.0}
+
+# Default serving batch: 8 (the production micro-batching regime — the
+# action server coalesces concurrent robot clients, exp/serve.py) except at
+# 7b where batching measures SLOWER than B=1 (dequant-copy HBM traffic;
+# BENCH_NOTES).  The JSON line carries "batch" so every number is
+# attributable; override with BENCH_BATCH=1 for the latency regime.
+DEFAULT_BATCH = "1" if SCALE == "7b" else "8"
 
 
 def build(scale: str):
@@ -269,7 +277,7 @@ def main_pi0():
 
     cfg = build_pi0(SCALE)
     params = _build_params(lambda: init_flow_vla(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
-    B = int(os.environ.get("BENCH_BATCH", "1"))
+    B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH))
     tmask = jnp.ones((B, 48), jnp.int32)
     size = cfg.vit.image_size
     imasks = jnp.ones((B, 3), jnp.int32)
@@ -332,7 +340,7 @@ def main_oft():
         vlm=base.vlm, action_model_type="L1", action_dim=7, chunk_size=8,
     )
     params = _build_params(lambda: init_oft(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
-    B = int(os.environ.get("BENCH_BATCH", "1"))
+    B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH))
     nt = cfg.vlm.num_image_tokens
     S = nt + 48
     valid = jnp.ones((B, S), jnp.int32)
@@ -383,7 +391,7 @@ def main():
 
     nt = cfg.vlm.num_image_tokens
     text_len = 48
-    B = int(os.environ.get("BENCH_BATCH", "1"))
+    B = int(os.environ.get("BENCH_BATCH", DEFAULT_BATCH))
     S = nt + text_len
     valid = jnp.ones((B, S), jnp.int32)
     is_img = (jnp.arange(S) < nt)[None, :]
