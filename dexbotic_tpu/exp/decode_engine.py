@@ -29,13 +29,17 @@ XLA needs static shapes, so continuous batching is expressed as:
 Two compiled programs total (prefill per bucket + one step program) — no
 per-request compilation, no head-of-line blocking by long generations.
 
-Optional ``prefill_chunk``: admission feeds the prompt through the prefill
-cache ``chunk`` tokens at a time (embed/ViT one dispatch up front; each LLM
-chunk writes k/v at its column range via write_cols and lets grp/positions
-auto-continue from the cache's valid count) and runs one decode tick for
-the already-live slots between chunks — a long prefill no longer stalls
-in-flight generations for its whole duration (vLLM-style chunked prefill,
-expressed with static shapes).
+Optional ``prefill_chunk``: admission feeds the prompt ``chunk`` tokens at
+a time DIRECTLY into the engine cache (embed/ViT one dispatch up front;
+each LLM chunk runs at B=slots with non-admitted rows parked on an
+out-of-bounds write column so their scatter writes drop; grp/positions
+auto-continue per row from the cache's valid count) and runs one decode
+tick for the already-live slots between chunks — a long prefill no longer
+stalls in-flight generations for its whole duration, and admission
+allocates NO second KV cache (peak HBM = params + ONE engine cache, the
+difference between an 8-slot 4k-context 1b engine fitting one v5e chip or
+OOMing).  vLLM-style chunked prefill + in-place cache writes, expressed
+with static shapes.
 """
 
 from __future__ import annotations
@@ -67,6 +71,15 @@ class _Request:
     tokens: list = field(default_factory=list)
     error: Optional[Exception] = None
     slot: int = -1
+    # device-staged inputs, uploaded on the SUBMITTING thread (submit()):
+    # host->device transfers through a TPU tunnel cost 100s of ms, and done
+    # on the engine loop thread they land inside the head-of-line window of
+    # every in-flight decode.  Client-side staging overlaps them with ticks.
+    bucket: int = 0
+    ids_dev: Optional[jax.Array] = None  # int[bucket] padded prompt
+    valid_dev: Optional[jax.Array] = None  # int[bucket]
+    images_dev: Optional[jax.Array] = None
+    embeds_dev: Optional[jax.Array] = None  # [bucket, H] padded on device
 
 
 class ContinuousBatchingEngine:
@@ -119,14 +132,28 @@ class ContinuousBatchingEngine:
         # in-flight generation sees during admissions (bench_decode_engine
         # BENCH_HOL mode reads this to quantify chunked-prefill admission)
         self.tick_times: list[float] = []
+        # observability: (t_start, t_end, n_reqs, bucket, chunked) per
+        # admission batch — lets benches attribute decode stalls to
+        # admission phases (bounded like tick_times)
+        self.admit_log: list[tuple] = []
 
         self._queue: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = False
+        self._dead: Optional[Exception] = None  # fatal engine failure
+        self._epoch = 0  # bumped by _reset_state; detects mid-admission resets
         self._prefill_fns: dict = {}
-        self._step_fn = jax.jit(self._make_step(), static_argnums=(8,))
-        self._install_fn = jax.jit(self._install)
+        # donate the engine cache + last_hidden through the step/install
+        # programs: without donation every tick holds TWO copies of the
+        # multi-GB KV cache (input + output) — the difference between a
+        # 4k-context 8-slot 1b engine fitting one v5e chip or OOMing.
+        # CPU ignores donation (tests run there); gate to avoid warnings.
+        donate = (jax.default_backend() != "cpu")
+        self._step_fn = jax.jit(self._make_step(), static_argnums=(8,),
+                                donate_argnums=(1, 2) if donate else ())
+        self._install_fn = jax.jit(self._install,
+                                   donate_argnums=(0, 1) if donate else ())
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -174,28 +201,55 @@ class ContinuousBatchingEngine:
         return fn
 
     def _chunk_fn(self):
-        """One prefill chunk: run ``emb[:, off:off+c]`` against the partial
-        prefill cache (vlm_forward auto-continues grp/positions from the
-        cache's valid count), write k/v at columns off..off+c-1 via
-        write_cols, and keep the running last-valid hidden state."""
+        """One in-cache prefill chunk: scatter the admitted rows' embed
+        slice to all S slot rows (non-admitted rows ride along with valid=0
+        and an out-of-bounds ``write_cols`` parking column, so their scatter
+        writes are dropped), run ONE vlm_forward at B=S directly against the
+        ENGINE cache, and keep the running last-valid hidden per row.
+
+        This is the vLLM-style design point expressed with static shapes:
+        prefill writes straight into the serving cache, so chunked admission
+        allocates NO separate prefill cache and needs NO install scatter —
+        peak HBM is params + one engine cache (an 8-slot 4k-context
+        1b-class engine fits one v5e chip; the install path did not).
+        grp/positions auto-continue per row from the cache's valid count
+        (models/vlm.py vlm_forward)."""
         fn = getattr(self, "_chunk_jit", None)
         if fn is None:
-            cfg = self.cfg
+            cfg, S, C = self.cfg, self.S, self.P + self.N
 
-            def chunk(params, emb, valid, off, lens, cache, last):
-                B, c = emb.shape[:2]
-                hidden, cache = vlm_forward(
-                    params, cfg, jnp.zeros((B, c), jnp.int32), valid,
-                    inputs_embeds=emb, cache=cache, update_cache=True,
-                    write_cols=jnp.full((B,), off, jnp.int32),
+            def chunk(params, emb, valid, off, lens, slots, cache, last, clear):
+                if clear:
+                    # first chunk of an admission: zero the admitted rows'
+                    # occupancy metadata IN the same program (stale valid=1
+                    # columns deeper than the new prompt would otherwise be
+                    # attended as ghost tokens; fusing it here saves a
+                    # dispatch round-trip in the head-of-line window)
+                    cache = dict(cache)
+                    for f in ("grp", "valid", "seg"):
+                        cache[f] = cache[f].at[slots].set(0)
+                c, H = emb.shape[1], emb.shape[2]
+                emb_s = jnp.zeros((S, c, H), emb.dtype).at[slots].set(emb)
+                valid_s = (
+                    jnp.zeros((S, c), jnp.int32).at[slots].set(valid.astype(jnp.int32))
                 )
-                rel = jnp.clip(lens - 1 - off, 0, c - 1)
+                offs = jnp.full((S,), C, jnp.int32).at[slots].set(off)
+                hidden, cache = vlm_forward(
+                    params, cfg, jnp.zeros((S, c), jnp.int32), valid_s,
+                    inputs_embeds=emb_s, cache=cache, update_cache=True,
+                    write_cols=offs,
+                )
+                lens_s = jnp.zeros((S,), jnp.int32).at[slots].set(lens)
+                rel = jnp.clip(lens_s - 1 - off, 0, c - 1)
                 cand = jnp.take_along_axis(hidden, rel[:, None, None], axis=1)[:, 0]
-                in_chunk = (lens - 1 >= off) & (lens - 1 < off + c)
+                in_chunk = (lens_s - 1 >= off) & (lens_s - 1 < off + c)
                 last = jnp.where(in_chunk[:, None], cand.astype(last.dtype), last)
                 return cache, last
 
-            fn = self._chunk_jit = jax.jit(chunk)
+            donate = (jax.default_backend() != "cpu")
+            fn = self._chunk_jit = jax.jit(
+                chunk, static_argnums=(8,),
+                donate_argnums=(6, 7) if donate else ())
         return fn
 
     def _install(self, cache, last_hidden, pcache, plast, slots):
@@ -262,9 +316,29 @@ class ContinuousBatchingEngine:
                timeout: float = 900.0) -> list:
         """Blocking: returns the generated token list (pads/eos trimmed)."""
         ids = np.asarray(ids).reshape(-1)
+        if self._dead is not None:
+            raise RuntimeError("decode engine is dead") from self._dead
         assert ids.shape[0] <= self.P, f"prompt {ids.shape[0]} > max_prompt {self.P}"
         r = _Request(ids=ids, images=images, embeds=embeds,
                      max_new=min(max_new or self.N, self.N))
+        # stage the padded prompt + image on device from THIS thread (see
+        # _Request): the engine loop then only stacks device arrays
+        L = ids.shape[0]
+        r.bucket = min(_bucket(max(L, 1)), self.P)
+        pad_ids = np.zeros(r.bucket, np.int32)
+        pad_ids[:L] = ids
+        pad_valid = np.zeros(r.bucket, np.int32)
+        pad_valid[:L] = 1
+        r.ids_dev = jax.device_put(pad_ids)
+        r.valid_dev = jax.device_put(pad_valid)
+        if images is not None:
+            r.images_dev = jax.device_put(np.asarray(images))
+        if embeds is not None:
+            # accept host OR device embeds ([L, H]); pad to the bucket on
+            # device — a device-resident prompt (e.g. a NaVILA session's
+            # fused history splice) never round-trips through the host
+            e = embeds if isinstance(embeds, jax.Array) else jnp.asarray(embeds)
+            r.embeds_dev = jnp.pad(e, ((0, r.bucket - L), (0, 0)))
         self._queue.put(r)
         self._wake.set()
         if not r.event.wait(timeout=timeout):
@@ -282,61 +356,101 @@ class ContinuousBatchingEngine:
         """ONE padded prefill call + one cache scatter for a whole admission
         burst (requests grouped by compatible bucket/aux shapes): admitting
         a fleet's worth of queued requests costs one dispatch, not N."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         B = len(reqs)
-        ids = np.zeros((B, bucket), np.int32)
-        valid = np.zeros((B, bucket), np.int32)
-        for i, r in enumerate(reqs):
-            L = r.ids.shape[0]
-            ids[i, :L] = r.ids
-            valid[i, :L] = 1
+        # stack the CLIENT-staged device rows — no host->device transfer on
+        # this (the serving loop) thread; see _Request
+        ids_d = jnp.stack([r.ids_dev for r in reqs])
+        valid_d = jnp.stack([r.valid_dev for r in reqs])
         embeds = None
-        if reqs[0].embeds is not None:
-            # keep the caller's prefill dtype (float32 matches the fused
+        if reqs[0].embeds_dev is not None:
+            # caller's prefill dtype preserved (float32 matches the fused
             # generate() path bit-for-bit; pass bf16 embeds for bf16 serving)
-            embeds = np.zeros((B, bucket, reqs[0].embeds.shape[-1]),
-                              reqs[0].embeds.dtype)
-            for i, r in enumerate(reqs):
-                embeds[i, : r.ids.shape[0]] = r.embeds
-            embeds = jnp.asarray(embeds)
+            embeds = jnp.stack([r.embeds_dev for r in reqs])
         images = None
-        if reqs[0].images is not None:
-            images = jnp.asarray(np.stack([np.asarray(r.images) for r in reqs]))
+        if reqs[0].images_dev is not None:
+            images = jnp.stack([r.images_dev for r in reqs])
         if self.chunk and self.chunk < bucket:
             # chunked admission: embed once, then feed the LLM prefill in
-            # ``chunk``-token slices with a decode tick between slices so
-            # in-flight generations keep moving during long prefills
+            # ``chunk``-token slices written DIRECTLY into the engine cache
+            # (no separate prefill cache, no install scatter), with a decode
+            # tick between slices so in-flight generations keep moving
+            # during long prefills
             if embeds is None:
-                embeds = self._embed_fn()(self.params, jnp.asarray(ids), images)
-            pcache = init_kv_cache(self.cfg.llm, B, bucket, dtype=jnp.bfloat16)
-            plast = jnp.zeros((B, self.cfg.llm.hidden_size), jnp.bfloat16)
+                embeds = self._embed_fn()(self.params, ids_d, images)
             lens = jnp.asarray([r.ids.shape[0] for r in reqs], jnp.int32)
+            slots_arr = jnp.asarray(slots, jnp.int32)
             needed = int(max(r.ids.shape[0] for r in reqs))
             chunk_fn = self._chunk_fn()
-            for off in range(0, needed, self.chunk):
-                c = min(self.chunk, bucket - off)
-                pcache, plast = chunk_fn(
-                    self.params, embeds[:, off:off + c],
-                    jnp.asarray(valid[:, off:off + c]), np.int32(off), lens,
-                    pcache, plast,
-                )
-                if off + c < needed:
-                    self._decode_tick()
+            try:
+                for s in slots:
+                    self.n_dec[s] = 0  # stale decode depth parks tick
+                    # writes of this not-yet-live row at column P+0
+                epoch = self._epoch
+                for off in range(0, needed, self.chunk):
+                    c = min(self.chunk, bucket - off)
+                    self.cache, self.last_hidden = chunk_fn(
+                        self.params, embeds[:, off:off + c],
+                        valid_d[:, off:off + c], np.int32(off), lens,
+                        slots_arr, self.cache, self.last_hidden, off == 0,
+                    )
+                    if off + c < needed:
+                        self._decode_tick()
+                        if self._epoch != epoch:
+                            # a failed tick reset the engine under us; the
+                            # partial prompt chunks are gone
+                            raise RuntimeError(
+                                "engine state reset during chunked admission")
+            except Exception as e:  # noqa: BLE001
+                # clear/chunk donate the engine cache — a mid-execution
+                # failure leaves it invalid, so in-flight slots are lost too
+                self._fail_live(e)
+                self._reset_state()
+                raise
         else:
             fn = self._prefill(B, bucket, images is not None, embeds is not None)
-            pcache, plast = fn(self.params, jnp.asarray(ids), jnp.asarray(valid),
-                               images, embeds)
-        self.cache, self.last_hidden = self._install_fn(
-            self.cache, self.last_hidden, pcache, plast,
-            jnp.asarray(slots, jnp.int32),
-        )
+            pcache, plast = fn(self.params, ids_d, valid_d, images, embeds)
+            try:
+                self.cache, self.last_hidden = self._install_fn(
+                    self.cache, self.last_hidden, pcache, plast,
+                    jnp.asarray(slots, jnp.int32),
+                )
+            except Exception as e:  # noqa: BLE001
+                # install donates self.cache/last_hidden — a mid-execution
+                # failure leaves them invalid, so in-flight slots are lost too
+                self._fail_live(e)
+                self._reset_state()
+                raise
         for r, slot in zip(reqs, slots):
             self.prompt_len[slot] = r.ids.shape[0]
             self.n_dec[slot] = 0
             self.live[slot] = True
             self.reqs[slot] = r
             r.slot = slot
+        if len(self.admit_log) < 65536:
+            self.admit_log.append(
+                (_t0, _time.perf_counter(), B, bucket,
+                 bool(self.chunk and self.chunk < bucket)))
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        except Exception as e:  # noqa: BLE001
+            # the loop thread must never die silently: mark the engine dead
+            # so queued and future submits fail fast instead of hanging
+            self._dead = e
+            self._fail_live(e)
+            while True:
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                r.error = e
+                r.event.set()
+
+    def _loop_inner(self):
         while not self._stop:
             # admit queued requests into free slots — grouped by prefill
             # signature so each group is ONE batched prefill dispatch
@@ -350,11 +464,11 @@ class ContinuousBatchingEngine:
             if pending:
                 groups: dict = {}
                 for r in pending:
-                    bucket = min(_bucket(max(r.ids.shape[0], 1)), self.P)
                     sig = (
-                        bucket,
-                        None if r.images is None else np.asarray(r.images).shape,
-                        None if r.embeds is None else r.embeds.shape[-1],
+                        r.bucket,
+                        None if r.images_dev is None else r.images_dev.shape,
+                        None if r.embeds_dev is None
+                        else (r.embeds_dev.shape[-1], str(r.embeds_dev.dtype)),
                     )
                     groups.setdefault(sig, []).append(r)
                 it = iter(free)
@@ -396,14 +510,12 @@ class ContinuousBatchingEngine:
             self.n_dec = np.array(jax.device_get(n_dec))  # writable copy
             done_np = np.asarray(jax.device_get(done))
         except Exception as e:  # noqa: BLE001
-            # fail every in-flight request rather than hanging clients
-            for slot in range(self.S):
-                req = self.reqs[slot]
-                if req is not None:
-                    req.error = e
-                    self.live[slot] = False
-                    self.reqs[slot] = None
-                    req.event.set()
+            # fail every in-flight request rather than hanging clients; the
+            # step program donates the cache buffers, so after a failed
+            # dispatch they may be invalid — rebuild a fresh empty engine
+            # state before serving anything else
+            self._fail_live(e)
+            self._reset_state()  # raising here marks the engine dead (_loop)
             return
         for slot in range(self.S):
             req = self.reqs[slot]
@@ -424,6 +536,22 @@ class ContinuousBatchingEngine:
                 self.live[slot] = False
                 self.reqs[slot] = None
                 req.event.set()
+
+    def _fail_live(self, e: Exception):
+        for slot in range(self.S):
+            req = self.reqs[slot]
+            if req is not None:
+                req.error = e
+                self.live[slot] = False
+                self.reqs[slot] = None
+                req.event.set()
+
+    def _reset_state(self):
+        self._epoch += 1
+        C = self.P + self.N
+        self.cache = init_kv_cache(self.cfg.llm, self.S, C, dtype=jnp.bfloat16)
+        self.last_hidden = jnp.zeros(
+            (self.S, self.cfg.llm.hidden_size), jnp.bfloat16)
 
     def _max_new_arr(self):
         out = np.full(self.S, self.N, np.int32)

@@ -536,8 +536,11 @@ class MUVLAServer(ActionServer):
         input_ids, map_img, obs = self._prepare(fields, files)
         if self.engine is not None:
             embeds = self._embed_fn(input_ids, map_img, obs)
+            # device-resident handoff: the engine pads/stacks on device, so
+            # the ~MB prompt embeds never round-trip through the host tunnel
             toks = self.engine.submit(
-                np.asarray(input_ids)[0], embeds=np.asarray(embeds[0], np.float32),
+                np.asarray(input_ids)[0],
+                embeds=embeds[0].astype(jnp.float32),
                 max_new=self.max_new_tokens,
             )
             return self._decode_tokens(toks)

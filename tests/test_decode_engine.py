@@ -174,3 +174,97 @@ def test_engine_eos_stops_early():
         assert out == [first]
     finally:
         eng.close()
+
+
+def test_engine_failed_step_fails_requests_not_clients():
+    """A failing step dispatch must (a) error the in-flight requests rather
+    than hanging their client threads, and (b) leave the engine serviceable
+    (state reset) OR mark it dead so later submits fail fast — never a
+    silent hang.  Exercises the donation-aware failure path (_fail_live /
+    _reset_state / _dead)."""
+    params = init_vlm(jax.random.PRNGKey(0), VLM)
+    rs = np.random.RandomState(4)
+    ids, img = _prompt(rs, 5)
+    eng = ContinuousBatchingEngine(
+        params, VLM, slots=2, max_prompt=64, max_new=4,
+        eos_token_id=-1, temperature=0.0, steps_per_tick=2,
+    )
+    try:
+        boom = RuntimeError("injected step failure")
+
+        def bad_step(*a, **k):
+            raise boom
+
+        eng._step_fn = bad_step
+        try:
+            eng.submit(ids, images=img, timeout=60)
+            raise AssertionError("submit should have raised")
+        except RuntimeError as e:
+            assert "injected" in str(e) or "dead" in str(e)
+        # engine state was reset; a healthy step fn serves again
+        eng._step_fn = jax.jit(eng._make_step(), static_argnums=(8,))
+        assert eng._dead is None
+        out = eng.submit(ids, images=img, timeout=300)
+        assert len(out) == 4
+    finally:
+        eng.close()
+
+
+def test_engine_dead_loop_fails_fast():
+    """If the loop thread itself dies (e.g. reset OOM), queued and future
+    submits must raise promptly instead of blocking until timeout."""
+    params = init_vlm(jax.random.PRNGKey(0), VLM)
+    rs = np.random.RandomState(5)
+    ids, img = _prompt(rs, 5)
+    eng = ContinuousBatchingEngine(
+        params, VLM, slots=2, max_prompt=64, max_new=4,
+        eos_token_id=-1, temperature=0.0, steps_per_tick=2,
+    )
+    try:
+        boom = RuntimeError("injected loop death")
+
+        def bad_tick(*a, **k):
+            raise boom
+
+        eng._decode_tick = bad_tick  # _loop_inner raises -> _loop marks dead
+        try:
+            eng.submit(ids, images=img, timeout=60)
+            raise AssertionError("submit should have raised")
+        except RuntimeError:
+            pass
+        assert eng._dead is not None
+        try:
+            eng.submit(ids, images=img, timeout=60)
+            raise AssertionError("second submit should fail fast")
+        except RuntimeError as e:
+            assert "dead" in str(e)
+    finally:
+        eng.close()
+
+
+def test_engine_chunked_slot_reuse_clears_stale_occupancy():
+    """In-cache chunked admission writes straight into the engine cache; a
+    slot previously occupied by a LONGER prompt must not leak ghost tokens
+    (stale valid=1 columns deeper than the new prompt) into the reused
+    row's attention."""
+    params = init_vlm(jax.random.PRNGKey(0), VLM)
+    rs = np.random.RandomState(11)
+    long_p = _prompt(rs, 30)
+    short_p = _prompt(rs, 6)
+    T = 4
+
+    eng = ContinuousBatchingEngine(
+        params, VLM, slots=1, max_prompt=64, max_new=T,
+        eos_token_id=-1, temperature=0.0, steps_per_tick=1, prefill_chunk=8,
+    )
+    try:
+        for ids, img in (long_p, short_p):
+            exp, _ = generate(
+                params, VLM, jnp.asarray(ids)[None],
+                jnp.ones((1, len(ids)), jnp.int32), jnp.asarray(img)[None],
+                max_new_tokens=T, eos_token_id=-1, temperature=0.0,
+            )
+            got = eng.submit(ids, images=img, max_new=T, timeout=300)
+            assert got == np.asarray(exp)[0].tolist()
+    finally:
+        eng.close()
