@@ -22,7 +22,6 @@ WORKER = textwrap.dedent("""
     assert multihost.maybe_initialize()
     import jax.numpy as jnp
     import numpy as np
-import pytest
     from dexbotic_tpu.exp.optim import OptimizerConfig
     from dexbotic_tpu.exp.trainer import Trainer, TrainerConfig
 
