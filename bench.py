@@ -386,6 +386,16 @@ def main():
     from dexbotic_tpu.models.cogact import cogact_inference_action, init_cogact
 
     cfg = build(SCALE)
+    # BENCH_SAMPLER=dpm: DPM-Solver++(2M) at 5 steps (the documented
+    # config for matching DDIM-10's trajectory error with half the serial
+    # chain — ops/diffusion.py).  The analytic-FLOP roofline below keys
+    # off cfg.ddim_steps, so the self-check adapts.
+    if os.environ.get("BENCH_SAMPLER", "") == "dpm":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, sampler="dpm",
+            ddim_steps=int(os.environ.get("BENCH_STEPS", "5")))
     # init directly in bf16 (a transient fp32 7B tree would not fit HBM)
     params = _build_params(lambda: init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
 
@@ -434,7 +444,8 @@ def main():
         + cfg.ddim_steps * cfg_mult * 2.0 * p_dit * t_dit
     )
     baseline = BASELINE_CHUNKS_PER_SEC.get(SCALE, 7.0)
-    check_and_report(f"cogact_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
+    stag = f"_dpm{cfg.ddim_steps}" if cfg.sampler == "dpm" else ""
+    check_and_report(f"cogact_{SCALE}{_qtag()}{stag}_action_chunks_per_sec_chip",
                      B, dt, flops / B, baseline)
 
 
