@@ -213,6 +213,8 @@ def _run_hol_label(eng, label, victim, admits, out):
             for a, b, B, bk, ch in eng.admit_log
         ],  # (start_ms, dur_ms, n_reqs, bucket, chunked)
     }
+    # incremental: a timed-out run still leaves the finished label's data
+    print(f"[{label}] {out[label]}", flush=True)
 
 
 def _print_hol(out, nt, plen, chunk):
