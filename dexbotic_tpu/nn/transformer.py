@@ -401,6 +401,7 @@ def transformer_forward(
     cache: Optional[dict] = None,
     update_cache: bool = False,
     remat: bool = False,
+    q_seg: Optional[jnp.ndarray] = None,
 ):
     """Single-stream decoder forward (the N=1 MoT special case)."""
     outs, cache = mot_forward(
@@ -411,5 +412,6 @@ def transformer_forward(
         cache=cache,
         update_cache=update_cache,
         remat=remat,
+        q_seg=q_seg,
     )
     return outs[0], cache

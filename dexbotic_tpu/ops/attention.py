@@ -941,9 +941,21 @@ def attention(
 ) -> jnp.ndarray:
     """Dispatch to the Pallas kernel on TPU (aligned head_dim) else XLA.
 
-    impl: 'auto' | 'pallas' | 'xla' | 'pallas_interpret'
+    impl: 'auto' | 'pallas' | 'xla' | 'pallas_interpret' | 'ring:<axis>'
     Optional q_seg/kv_seg isolate packed sequences (NaVILA-style packing).
+
+    'ring:<axis>' is context parallelism: inside a `shard_map` whose
+    sequence axis is sharded over mesh axis `<axis>`, attention runs as a
+    ppermute ring over the kv blocks (parallel/ring.py) — set
+    `TransformerConfig(attn_impl="ring:seq")` to train any zoo model with
+    sequences sharded across chips.
     """
+    if impl.startswith("ring:"):
+        from dexbotic_tpu.parallel.ring import ring_attention
+
+        return ring_attention(q, k, v, q_grp, kv_grp, kv_valid,
+                              axis_name=impl[len("ring:"):], scale=scale,
+                              q_seg=q_seg, kv_seg=kv_seg)
     if impl == "auto":
         impl = "pallas" if _tpu_ok(q.shape[-1], k.shape[1], q.shape[1]) else "xla"
     if impl == "xla":
