@@ -57,6 +57,24 @@ class TokenizerConfig(Config):
 
     def build_tokenizer(self):
         if self.tokenizer_path:
+            import os
+
+            # a raw sentencepiece .model file (e.g. Gemma's tokenizer.model,
+            # the only artifact the reference's Pi0Tokenization needs —
+            # dexbotic/tokenization/process.py:116) loads without the native
+            # sentencepiece package via the pure-Python reader
+            sp_path = self.tokenizer_path
+            if os.path.isdir(sp_path):
+                cand = os.path.join(sp_path, "tokenizer.model")
+                has_hf = any(os.path.exists(os.path.join(sp_path, f))
+                             for f in ("tokenizer.json", "tokenizer_config.json"))
+                sp_path = cand if (os.path.exists(cand) and not has_hf) else None
+            elif not sp_path.endswith(".model"):
+                sp_path = None
+            if sp_path:
+                from dexbotic_tpu.tokenization.spm import SpmTokenizer
+
+                return SpmTokenizer(sp_path, model_max_length=self.model_max_length)
             from transformers import AutoTokenizer
 
             tok = AutoTokenizer.from_pretrained(self.tokenizer_path, use_fast=True)
