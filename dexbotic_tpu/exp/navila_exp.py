@@ -22,6 +22,7 @@ from dexbotic_tpu.models.navila import (
     init_navila,
     navila_loss,
     navila_packed_loss,
+    navila_packed_loss_cp,
     pack_batch,
 )
 from dexbotic_tpu.models.vlm import VLMConfig
@@ -50,6 +51,10 @@ class NaVILAModelConfig(base_exp.Config):
     use_packing: bool = True
     pack_max_len: int = 0  # 0 -> tokenizer.model_max_length
     samples_per_pack: int = 0  # 0 -> 2x packed rows
+    # context parallelism: shard packed sequences over a 'seq' mesh axis and
+    # run the decoder with ring attention (parallel/ring.py) — the regime
+    # where pack_max_len outgrows one chip's activation HBM.  1 = off.
+    context_parallel_seq: int = 1
 
     def build_config(self) -> NaVILAConfig:
         return NaVILAConfig(
@@ -165,10 +170,29 @@ class NaVILAExp(base_exp.BaseExp):
         params = self.model.build_params(cfg)
         digit_ids = self._digit_ids(tokenizer)
 
+        cp_seq = max(1, self.model.context_parallel_seq)
+        mesh = None
+        if cp_seq > 1:
+            # 3-axis mesh: fsdp/batch semantics keep their 'data'/'model'
+            # axes, the packed-loss shard_map adds 'seq'
+            n_dev = len(jax.devices())
+            assert n_dev % cp_seq == 0, (n_dev, cp_seq)
+            from jax.sharding import Mesh
+
+            mesh = Mesh(
+                np.asarray(jax.devices()).reshape(n_dev // cp_seq, 1, cp_seq),
+                ("data", "model", "seq"),
+            )
+
         def loss_fn(params, batch, rng):
+            soft = digit_ids if self.model.use_soft_ce else None
+            if cp_seq > 1:
+                return navila_packed_loss_cp(
+                    params, cfg, batch, mesh, rng, soft_tokens=soft,
+                    remat=self.trainer.gradient_checkpointing,
+                )
             return navila_packed_loss(
-                params, cfg, batch, rng,
-                soft_tokens=digit_ids if self.model.use_soft_ce else None,
+                params, cfg, batch, rng, soft_tokens=soft,
                 remat=self.trainer.gradient_checkpointing,
             )
 
@@ -179,7 +203,7 @@ class NaVILAExp(base_exp.BaseExp):
             pad_token_id=tokenizer.pad_token_id,
             max_length=self.tokenizer.model_max_length,
         )
-        trainer = Trainer(loss_fn, params, self.trainer, self.optimizer)
+        trainer = Trainer(loss_fn, params, self.trainer, self.optimizer, mesh=mesh)
 
         R = self.trainer.per_device_batch_size * trainer.mesh.shape["data"]
         K = self.model.samples_per_pack or 2 * R

@@ -131,6 +131,21 @@ def navila_forward_packed(params, cfg: NaVILAConfig, packed: dict, images_embeds
     return outs[0]
 
 
+def _packed_embeds(params, cfg: NaVILAConfig, batch: dict) -> jnp.ndarray:
+    """ViT encode + gather-splice of image features into packed rows [R, L, H]."""
+    feats = encode_images(params["vlm"], cfg.vlm, batch["images"])  # [K, NT, H]
+    K, NT, H = feats.shape
+    feats_flat = feats.reshape(K * NT, H)
+
+    ids = batch["input_ids"]
+    is_img = ids == IMAGE_TOKEN_INDEX
+    safe_ids = jnp.where(is_img, 0, ids)
+    text = embed_tokens(params["vlm"]["llm"], cfg.vlm.llm, safe_ids)
+    idx = jnp.clip(batch["img_index"], 0, K * NT - 1)
+    gathered = jnp.take(feats_flat.astype(text.dtype), idx, axis=0)
+    return jnp.where(is_img[..., None], gathered, text)
+
+
 def navila_packed_loss(
     params,
     cfg: NaVILAConfig,
@@ -148,18 +163,7 @@ def navila_packed_loss(
     ORIGINAL samples.  Image features are gathered into the packed rows via
     img_index, so the VLM encode stays one batched ViT call.
     """
-    feats = encode_images(params["vlm"], cfg.vlm, batch["images"])  # [K, NT, H]
-    K, NT, H = feats.shape
-    feats_flat = feats.reshape(K * NT, H)
-
-    ids = batch["input_ids"]
-    is_img = ids == IMAGE_TOKEN_INDEX
-    safe_ids = jnp.where(is_img, 0, ids)
-    text = embed_tokens(params["vlm"]["llm"], cfg.vlm.llm, safe_ids)
-    idx = jnp.clip(batch["img_index"], 0, K * NT - 1)
-    gathered = jnp.take(feats_flat.astype(text.dtype), idx, axis=0)
-    embeds = jnp.where(is_img[..., None], gathered, text)
-
+    embeds = _packed_embeds(params, cfg, batch)
     hidden = navila_forward_packed(params, cfg, batch, images_embeds=embeds, remat=remat)
     logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hidden)
     if cfg.use_soft_ce and soft_tokens is not None:
@@ -168,6 +172,73 @@ def navila_packed_loss(
         )
     else:
         loss = causal_lm_loss(logits, batch["labels"])
+    return loss, {"text_loss": loss, "loss": loss}
+
+
+def navila_packed_loss_cp(
+    params,
+    cfg: NaVILAConfig,
+    batch: dict,
+    mesh,
+    rng=None,
+    soft_tokens: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+    data_axis: str = "data",
+    seq_axis: str = "seq",
+):
+    """Context-parallel packed loss: sequences sharded over `seq_axis`.
+
+    Numerically equal to navila_packed_loss on the same batch (same global
+    masked-mean), but the decoder runs with ring attention
+    (parallel/ring.py) inside shard_map, so per-device activation memory is
+    O(L / seq) — the regime where packed contexts outgrow one chip's HBM.
+    The ViT encode + gather-splice stay OUTSIDE shard_map under plain GSPMD
+    (the gather crosses shard boundaries; XLA places the collectives).
+    Labels are pre-shifted at full length so the HF next-token shift never
+    crosses a shard edge, then the per-token NLL (losses.token_nll) reduces
+    with psum over (data, seq).
+    """
+    from dexbotic_tpu.models.losses import token_nll
+    from jax.sharding import PartitionSpec as P
+
+    llm_cp = dataclasses.replace(cfg.vlm.llm, attn_impl=f"ring:{seq_axis}")
+    embeds = _packed_embeds(params, cfg, batch)
+
+    labels = batch["labels"]
+    R, L = labels.shape
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((R, 1), IGNORE_INDEX, labels.dtype)], axis=1
+    )
+    valid = batch["attention_mask"]
+    positions = batch["positions"]
+    seg = batch["segments"]
+    grp = positions + 1  # causal within each segment
+    use_soft = soft_tokens is not None
+    std = cfg.soft_ce_std
+
+    def local(llm_params, embeds, shifted, positions, grp, valid, seg, soft):
+        outs, _ = mot_forward(
+            [Stream(llm_cp, llm_params, embeds)],
+            positions=positions, q_grp=grp, q_valid=valid, remat=remat,
+            q_seg=seg,
+        )
+        logits = lm_logits(llm_params, llm_cp, outs[0])
+        nll, mask = token_nll(logits, shifted,
+                              soft_tokens=soft if use_soft else None, std=std)
+        s = jax.lax.psum(jnp.sum(jnp.where(mask, nll, 0.0)),
+                         (data_axis, seq_axis))
+        c = jax.lax.psum(jnp.sum(mask), (data_axis, seq_axis))
+        return s / jnp.maximum(c, 1)
+
+    s2 = P(data_axis, seq_axis)
+    s3 = P(data_axis, seq_axis, None)
+    soft_arg = soft_tokens if use_soft else jnp.zeros((1,), jnp.int32)
+    loss = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), s3, s2, s2, s2, s2, s2, P(None)),
+        out_specs=P(),
+    )(params["vlm"]["llm"], embeds, shifted, positions, grp, valid, seg,
+      soft_arg)
     return loss, {"text_loss": loss, "loss": loss}
 
 

@@ -138,9 +138,67 @@ def test_packed_loss_matches_unpacked():
     np.testing.assert_allclose(float(loss_packed), float(loss_unpacked), rtol=2e-5)
 
 
-def test_navila_exp_packed_train(tmp_path, monkeypatch):
+def test_packed_loss_cp_matches_plain():
+    """Context-parallel packed loss (ring attention over a 'seq' mesh axis)
+    equals navila_packed_loss — loss AND param grads — on the same batch."""
+    from jax.sharding import Mesh
+    from dexbotic_tpu.models.navila import navila_packed_loss_cp
+
+    frames = 2
+    cfg = NaVILAConfig(vlm=VLMConfig(llm=LLM_TEST, vit=VIT_TEST),
+                       num_video_frames=frames, use_soft_ce=True)
+    params = init_navila(jax.random.PRNGKey(0), cfg)
+    nt = cfg.vlm.num_image_tokens * frames
+    rs = np.random.RandomState(2)
+    B, L = 4, nt + 12
+    ids = np.zeros((B, L), np.int64)
+    labels = np.full((B, L), IGNORE_INDEX, np.int64)
+    valid = np.zeros((B, L), np.int64)
+    for i, tl in enumerate([12, 9, 6, 4]):
+        ids[i, :nt] = IMAGE_TOKEN_INDEX
+        ids[i, nt : nt + tl] = rs.randint(1, 400, tl)
+        valid[i, : nt + tl] = 1
+        labels[i, nt + 2 : nt + tl] = ids[i, nt + 2 : nt + tl]
+    images = rs.randn(B, frames, 28, 28, 3).astype(np.float32)
+
+    # rows divisible by the data axis, length by the seq axis
+    packed = pack_batch(ids, labels, valid, num_rows=2, max_len=2 * L,
+                        pad_token_id=0)
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+    batch["images"] = jnp.asarray(images)
+    soft = jnp.asarray([10, 11, 12, 13, 14])
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 1, 4),
+                ("data", "model", "seq"))
+    assert (2 * L) % 4 == 0 and 2 % 2 == 0
+
+    ref_fn = lambda p: navila_packed_loss(p, cfg, batch, soft_tokens=soft)[0]
+    cp_fn = jax.jit(
+        lambda p: navila_packed_loss_cp(p, cfg, batch, mesh, soft_tokens=soft)[0]
+    )
+    ref, g_ref = jax.value_and_grad(ref_fn)(params)
+    got, g_cp = jax.value_and_grad(cp_fn)(params)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_cp)[0],
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "cp_seq", [1, pytest.param(4, marks=pytest.mark.heavy)]
+)
+def test_navila_exp_packed_train(tmp_path, monkeypatch, cp_seq):
     """End-to-end: NaVILAExp.train() runs the length-grouped + packed path
-    through the sharded Trainer (reference exp/navila_trainer.py:64-230)."""
+    through the sharded Trainer (reference exp/navila_trainer.py:64-230);
+    cp_seq=4 drives the context-parallel wiring (3-axis mesh + ring
+    attention) through the same entry point."""
     import json as _json
     import os
 
@@ -176,7 +234,7 @@ def test_navila_exp_packed_train(tmp_path, monkeypatch):
         model=NaVILAModelConfig(
             llm_preset="test", vit_preset="test", mm_projector_type="linear",
             num_video_frames=2, use_packing=True, samples_per_pack=4,
-            pack_max_len=192,
+            pack_max_len=192, context_parallel_seq=cp_seq,
         ),
         data=NaVILADataConfig(
             dataset_name="navmini_all", image_processor="28",
