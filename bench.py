@@ -71,7 +71,16 @@ def _build_params(init_fn):
     import jax.numpy as jnp
 
     if not QUANT:
-        return init_fn()
+        # serving dtype policy (exp/base_exp.py:prepare_inference_params):
+        # big fp32 tensors -> bf16.  init_* leaves action heads fp32 (the
+        # training-parity default); serving casts them, so the bench must
+        # too — otherwise the DDIM chain times fp32 matmuls the product
+        # never runs.
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 and x.ndim >= 2 else x,
+            init_fn(),
+        )
     assert QUANT in ("int8", "w8a8"), f"unknown BENCH_QUANT={QUANT!r}"
     if QUANT == "w8a8":
         from dexbotic_tpu.ops import quant_matmul

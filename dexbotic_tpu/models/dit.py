@@ -131,6 +131,19 @@ def dit_forward(
         drop = jax.random.uniform(drop_rng, (B,)) < cfg.class_dropout_prob
         z = jnp.where(drop[:, None, None], params["uncondition"].astype(z.dtype)[None, None, :], z)
 
+    # Compute in the weights' dtype: the sampler keeps x_t/z in fp32 for the
+    # scheduler math, but feeding fp32 activations into bf16 weights promotes
+    # EVERY matmul to fp32 — a fraction of MXU speed.  Training inits the
+    # head fp32 (reference fp32-autocast loss parity) so nothing changes
+    # there; bf16 serving params run the whole chain on the bf16 MXU with
+    # fp32 norms (ops/norms.py).  Output returns fp32 for the sampler.
+    w = params["x_embed"]["w"]
+    cdtype = w["s"].dtype if isinstance(w, dict) else w.dtype
+    x = x.astype(cdtype)
+    z = z.astype(cdtype)
+    if mem is not None:
+        mem = mem.astype(cdtype)
+
     xe = core.linear(params["x_embed"], x)  # [B, T, H]
     te = timestep_embedding(t, cfg.freq_embed_size).astype(xe.dtype)
     te = core.linear(params["t_mlp"]["fc1"], jax.nn.silu(core.linear(params["t_mlp"]["fc0"], te)))
@@ -167,7 +180,7 @@ def dit_forward(
 
     h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
     h = layer_norm(h, eps=1e-6)
-    out = core.linear(params["final"], h)
+    out = core.linear(params["final"], h).astype(jnp.float32)
     return out[:, 1:, :]  # drop cond token
 
 

@@ -85,6 +85,25 @@ def test_dit_cfg_halves_identical():
     np.testing.assert_allclose(np.asarray(out[:2]), np.asarray(out[2:]), rtol=1e-5)
 
 
+def test_dit_computes_in_weight_dtype_returns_fp32():
+    """Serving casts the head to bf16 (exp/base_exp.py:prepare_inference_params);
+    dit_forward must then run the chain in bf16 — fp32 sampler state (x_t, z)
+    is cast down at entry, NOT promoted into fp32 matmuls — and hand fp32
+    back to the scheduler.  bf16 output must track fp32 closely."""
+    cfg = dit_mod.make_dit_config("DiT-S", token_size=32, action_dim=7, chunk_size=16)
+    p32 = dit_mod.init_dit(jax.random.PRNGKey(0), cfg)
+    p32["final"]["w"] = jax.random.normal(jax.random.PRNGKey(3), p32["final"]["w"].shape) * 0.1
+    p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16) if x.ndim >= 2 else x, p32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 7), jnp.float32)
+    t = jnp.array([5.0, 50.0])
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 32), jnp.float32)
+    o32 = dit_mod.dit_forward(p32, cfg, x, t, z)
+    o16 = dit_mod.dit_forward(p16, cfg, x, t, z)
+    assert o32.dtype == o16.dtype == jnp.float32
+    cos = float(jnp.sum(o32 * o16) / (jnp.linalg.norm(o32) * jnp.linalg.norm(o16)))
+    assert cos > 0.995, cos
+
+
 def test_dit_condition_dropout():
     cfg = dit_mod.make_dit_config("DiT-S", token_size=16, action_dim=4, chunk_size=4)
     p = dit_mod.init_dit(jax.random.PRNGKey(0), cfg)
