@@ -23,7 +23,7 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from dexbotic_tpu.nn import core
+from dexbotic_tpu.nn import core, moe
 from dexbotic_tpu.ops.attention import attention as _attention
 from dexbotic_tpu.ops.norms import rms_norm
 from dexbotic_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -52,6 +52,12 @@ class TransformerConfig:
     adarms_cond_dim: Optional[int] = None  # pi0.5 action expert
     attn_scale: Optional[float] = None  # default head_dim**-0.5
     attn_impl: str = "auto"
+    # Mixture-of-Experts FFN (beyond reference — see nn/moe.py). When set,
+    # every layer's MLP becomes a top-k routed expert bank; expert weights
+    # carry a leading [num_experts] axis sharded by the 'expert' mesh axis.
+    moe_num_experts: Optional[int] = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 2.0
 
     @property
     def q_dim(self) -> int:
@@ -104,7 +110,11 @@ def _layer_init(key, cfg: TransformerConfig, dtype):
             "v": core.linear_init(ks[4], cfg.hidden_size, cfg.kv_dim, cfg.attn_bias, dtype),
             "o": core.linear_init(ks[5], cfg.q_dim, cfg.hidden_size, False, dtype),
         },
-        "mlp": core.gated_mlp_init(ks[6], cfg.hidden_size, cfg.intermediate_size, dtype),
+        "mlp": (
+            moe.moe_init(ks[6], cfg.hidden_size, cfg.intermediate_size, cfg.moe_num_experts, dtype)
+            if cfg.moe_num_experts
+            else core.gated_mlp_init(ks[6], cfg.hidden_size, cfg.intermediate_size, dtype)
+        ),
     }
     if cfg.qk_norm:
         init = core.zeros_init() if cfg.norm_offset else core.ones_init()
@@ -206,6 +216,7 @@ def mot_forward(
     remat: bool = False,
     q_seg: Optional[jnp.ndarray] = None,  # int[B, T] packed-sequence ids
     write_cols: Optional[jnp.ndarray] = None,  # int[B] per-row cache columns
+    want_aux: bool = False,  # also return {"moe_aux": scalar} (MoE LB loss)
 ):
     """Joint attention over N decoder streams.
 
@@ -284,6 +295,7 @@ def mot_forward(
     def body(carry, layer_xs):
         xs_embeds = carry  # tuple of per-stream embeds (or None)
         layer_params = layer_xs["layers"]  # tuple, one per stream
+        aux = jnp.zeros((), jnp.float32)  # per-layer MoE load-balance loss
         new_embeds = []
         q_list, k_list, v_list = [], [], []
         gates1 = []
@@ -353,10 +365,20 @@ def mot_forward(
             a = core.linear(lp["attn"]["o"], a.reshape(B, slen, -1))
             x1 = _gated_residual(x, a, gates1[i])
             h2, gate2 = _apply_norm(lp["ln2"], s.cfg, x1, s.cond)
-            m = core.gated_mlp(lp["mlp"], h2, act=s.cfg.act)
+            if s.cfg.moe_num_experts:
+                m, moe_aux = moe.moe_mlp(
+                    lp["mlp"],
+                    h2,
+                    top_k=s.cfg.moe_top_k,
+                    act=s.cfg.act,
+                    capacity_factor=s.cfg.moe_capacity_factor,
+                )
+                aux = aux + moe_aux
+            else:
+                m = core.gated_mlp(lp["mlp"], h2, act=s.cfg.act)
             new_embeds.append(_gated_residual(x1, m, gate2))
 
-        return tuple(new_embeds), new_cache_kv
+        return tuple(new_embeds), (new_cache_kv, aux)
 
     if remat:
         body = jax.checkpoint(body)
@@ -367,7 +389,7 @@ def mot_forward(
         layer_xs["cache_v"] = cache["v"]
 
     init_carry = tuple(s.embeds for s in streams)
-    final_embeds, cache_kv = jax.lax.scan(body, init_carry, layer_xs)
+    final_embeds, (cache_kv, aux_layers) = jax.lax.scan(body, init_carry, layer_xs)
 
     outs = []
     for s, x in zip(streams, final_embeds):
@@ -388,6 +410,8 @@ def mot_forward(
                 new_cache["length"] = (
                     cache["length"] + T if start is not None else jnp.asarray(T, jnp.int32)
                 )
+    if want_aux:
+        return outs, new_cache, {"moe_aux": jnp.sum(aux_layers)}
     return outs, new_cache
 
 

@@ -17,14 +17,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: Optional[int] = None, model: int = 1, devices=None
+    data: Optional[int] = None, model: int = 1, expert: int = 1, devices=None
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    need = data * model
-    assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+        data = n // (model * expert)
+    need = data * model * expert
+    assert need <= n, f"mesh {data}x{expert}x{model} needs {need} devices, have {n}"
+    if expert > 1:
+        arr = np.asarray(devices[:need]).reshape(data, expert, model)
+        return Mesh(arr, ("data", "expert", "model"))
     arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
@@ -109,10 +112,25 @@ def tp_fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**14):
     With mesh model=1 this degrades to pure fsdp."""
     n_model = mesh.shape["model"]
     n_data = mesh.shape["data"]
+    n_expert = dict(mesh.shape).get("expert", 1)
 
     def spec_for(path, x):
         keys = _path_keys(path)
         spec = [None] * x.ndim
+        # expert parallelism: MoE expert-stacked kernels [L, E, in, out]
+        # shard the expert axis (nn/moe.py); router stays replicated.  The
+        # ndim>=4 guard distinguishes them from layer-stacked DENSE kernels
+        # [L, in, out], which share the same trailing path.
+        if (
+            n_expert > 1
+            and x.ndim >= 4
+            and len(keys) >= 3
+            and keys[-3] == "mlp"
+            and keys[-2] in ("gate", "up", "down")
+            and keys[-1] == "w"
+            and x.shape[x.ndim - 3] % n_expert == 0
+        ):
+            spec[x.ndim - 3] = "expert"
         if n_model > 1 and x.ndim >= 1:
             for rule_keys, axis in TP_RULES:
                 if len(keys) >= len(rule_keys) and tuple(keys[-len(rule_keys):]) == rule_keys:
