@@ -99,6 +99,17 @@ def vlm_forward(
     write_cols: Optional[jnp.ndarray] = None,  # int[B] per-row cache columns
 ):
     """Causal VLM forward.  Returns (last_hidden post-norm, cache)."""
+    if cfg.llm.moe_num_experts:
+        # This path discards the MoE load-balance aux loss; training a MoE
+        # router through it risks expert collapse.  Use transformer_forward /
+        # mot_forward(want_aux=True) and add the aux term to the loss.
+        import warnings
+
+        warnings.warn(
+            "vlm_forward drops the MoE load-balance aux loss "
+            "(moe_num_experts is set); use want_aux paths for training",
+            stacklevel=2,
+        )
     if inputs_embeds is None:
         if images is not None:
             feats = encode_images(params, cfg, images)

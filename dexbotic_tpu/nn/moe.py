@@ -61,6 +61,7 @@ def moe_mlp(
     top_k: int = 2,
     act: str = "silu",
     capacity_factor: float = 2.0,
+    valid: jnp.ndarray = None,  # optional bool/int [B, T]; invalid tokens are not routed
 ):
     """Returns (y [B,T,H], aux load-balance loss scalar fp32).
 
@@ -68,21 +69,37 @@ def moe_mlp(
     token's best expert is placed before any token's second-best, so under
     capacity pressure it is second choices that drop (their combine weight
     is zeroed; the token keeps its other experts' contributions).
+
+    ``valid`` masks padding: invalid tokens neither occupy capacity slots
+    (they can't evict real tokens' second choices) nor enter the f/P
+    load-balance statistics, and their output is zero.
+
+    Memory note: the dispatch tensor is [N, E, C] with C ≈
+    capacity_factor·top_k·N/E, i.e. O(N²/E) per layer — e.g. E=4, N=4096
+    is ~268 MB fp32.  Fine at VLA sequence lengths/dryrun scale; for
+    small-E long-sequence configs prefer a gather-based path.  (Only ONE
+    [N,E,C] tensor is built; combine weights ride a cheap [N,E] factor.)
     """
     B, T, H = x.shape
     E = p["router"]["w"].shape[-1]
     N = B * T
     C = expert_capacity(N, E, top_k, capacity_factor)
     xf = x.reshape(N, H)
+    vf = None if valid is None else valid.reshape(N).astype(jnp.float32)  # [N]
 
     # Routing in fp32: softmax over experts, renormalized top-k weights.
     logits = xf.astype(jnp.float32) @ p["router"]["w"].astype(jnp.float32)  # [N, E]
     probs = jax.nn.softmax(logits, axis=-1)
     w_topk, expert_ix = jax.lax.top_k(probs, top_k)  # [N, k]
     w_topk = w_topk / jnp.sum(w_topk, axis=-1, keepdims=True)
+    if vf is not None:
+        w_topk = w_topk * vf[:, None]
 
-    # Per-assignment position inside its expert's capacity buffer.
+    # Per-assignment position inside its expert's capacity buffer.  Invalid
+    # tokens are excluded from the one-hots so they never consume a slot.
     oh = jax.nn.one_hot(expert_ix, E, dtype=jnp.int32)  # [N, k, E]
+    if vf is not None:
+        oh = oh * vf[:, None, None].astype(jnp.int32)
     ohk = jnp.transpose(oh, (1, 0, 2))  # [k, N, E] — slot-major priority
     flat = ohk.reshape(top_k * N, E)
     pos_flat = jnp.cumsum(flat, axis=0) - flat  # index of this assignment within its expert
@@ -93,8 +110,11 @@ def moe_mlp(
     pos_oh = jax.nn.one_hot(pos_in_expert, C, dtype=jnp.float32)  # [k, N, C]
     ohf = ohk.astype(jnp.float32)
     wt = jnp.transpose(w_topk, (1, 0)) * keep  # [k, N]
-    combine = jnp.einsum("kn,kne,knc->nec", wt, ohf, pos_oh)  # [N, E, C]
     dispatch = jnp.einsum("kn,kne,knc->nec", keep, ohf, pos_oh)  # 0/1 mask
+    # Each token reaches each expert at most once (top-k indices are
+    # distinct), so the combine tensor factors as dispatch * W[n,e]: no
+    # second [N,E,C] materialization.
+    w_ne = jnp.einsum("kn,kne->ne", wt, ohf)  # [N, E]
 
     # Expert FFN: [E, C, H] batched gated MLP — one MXU matmul per weight.
     xs = jnp.einsum("nh,nec->ech", xf, dispatch.astype(xf.dtype))
@@ -102,12 +122,18 @@ def moe_mlp(
     u = jnp.einsum("ech,ehi->eci", xs, p["up"]["w"].astype(xs.dtype))
     h = core.ACTIVATIONS[act](g) * u
     ys = jnp.einsum("eci,eih->ech", h, p["down"]["w"].astype(h.dtype))
-    y = jnp.einsum("ech,nec->nh", ys, combine.astype(ys.dtype))
+    y = jnp.einsum("ech,nec,ne->nh", ys, dispatch.astype(ys.dtype), w_ne.astype(ys.dtype))
 
     # Switch load-balance loss: E * sum_e f_e * P_e  (uniform router -> 1.0).
+    # f/P are means over VALID tokens only.
     top1 = jax.nn.one_hot(expert_ix[:, 0], E, dtype=jnp.float32)
-    f = jnp.mean(top1, axis=0)  # fraction of tokens whose argmax is e
-    P = jnp.mean(probs, axis=0)  # mean router probability of e
+    if vf is None:
+        f = jnp.mean(top1, axis=0)  # fraction of tokens whose argmax is e
+        P = jnp.mean(probs, axis=0)  # mean router probability of e
+    else:
+        denom = jnp.maximum(jnp.sum(vf), 1.0)
+        f = jnp.sum(top1 * vf[:, None], axis=0) / denom
+        P = jnp.sum(probs * vf[:, None], axis=0) / denom
     aux = jnp.asarray(E, jnp.float32) * jnp.sum(f * P)
 
     return y.reshape(B, T, H), aux

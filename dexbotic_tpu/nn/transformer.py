@@ -372,6 +372,7 @@ def mot_forward(
                     top_k=s.cfg.moe_top_k,
                     act=s.cfg.act,
                     capacity_factor=s.cfg.moe_capacity_factor,
+                    valid=q_valid[:, offset - slen : offset],
                 )
                 aux = aux + moe_aux
             else:
@@ -426,9 +427,16 @@ def transformer_forward(
     update_cache: bool = False,
     remat: bool = False,
     q_seg: Optional[jnp.ndarray] = None,
+    want_aux: bool = False,
 ):
-    """Single-stream decoder forward (the N=1 MoT special case)."""
-    outs, cache = mot_forward(
+    """Single-stream decoder forward (the N=1 MoT special case).
+
+    With ``want_aux=True`` returns (out, cache, {"moe_aux": scalar}) so MoE
+    configs trained through single-stream loss paths can add the
+    load-balance loss; without it, a MoE config would silently train its
+    router with no balance term (expert-collapse risk).
+    """
+    res = mot_forward(
         [Stream(cfg, params, embeds)],
         positions=positions,
         q_grp=grp,
@@ -437,5 +445,10 @@ def transformer_forward(
         update_cache=update_cache,
         remat=remat,
         q_seg=q_seg,
+        want_aux=want_aux,
     )
+    if want_aux:
+        outs, cache, aux = res
+        return outs[0], cache, aux
+    outs, cache = res
     return outs[0], cache

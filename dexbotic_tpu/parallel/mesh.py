@@ -114,20 +114,29 @@ def tp_fsdp_param_specs(params, mesh: Mesh, min_size: int = 2**14):
     n_data = mesh.shape["data"]
     n_expert = dict(mesh.shape).get("expert", 1)
 
+    # MoE modules are identified by the presence of a sibling 'router' key
+    # (nn/moe.py:moe_init) rather than by ndim, so both layer-stacked
+    # [L, E, in, out] and per-layer [E, in, out] expert kernels shard their
+    # expert axis — a dense layer-stacked [L, in, out] kernel shares the
+    # same trailing ("mlp", <name>, "w") path but has no router sibling.
+    moe_parents = set()
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        keys = _path_keys(path)
+        if len(keys) >= 2 and keys[-2] == "router":
+            moe_parents.add(keys[:-2])
+
     def spec_for(path, x):
         keys = _path_keys(path)
         spec = [None] * x.ndim
-        # expert parallelism: MoE expert-stacked kernels [L, E, in, out]
-        # shard the expert axis (nn/moe.py); router stays replicated.  The
-        # ndim>=4 guard distinguishes them from layer-stacked DENSE kernels
-        # [L, in, out], which share the same trailing path.
+        # expert parallelism: shard the expert axis (ndim-3: the axis just
+        # before [in, out]) of gate/up/down kernels; router stays replicated.
         if (
             n_expert > 1
-            and x.ndim >= 4
-            and len(keys) >= 3
-            and keys[-3] == "mlp"
+            and x.ndim >= 3
+            and len(keys) >= 2
             and keys[-2] in ("gate", "up", "down")
             and keys[-1] == "w"
+            and keys[:-2] in moe_parents
             and x.shape[x.ndim - 3] % n_expert == 0
         ):
             spec[x.ndim - 3] = "expert"

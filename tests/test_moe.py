@@ -163,3 +163,31 @@ def test_moe_ep_train_step():
     assert "expert" in [
         s for s in p2["layers"]["mlp"]["gate"]["w"].sharding.spec if s is not None
     ]
+
+
+def test_valid_mask_excludes_padding():
+    """ADVICE r3: invalid tokens must not consume capacity slots nor enter
+    the f/P load-balance statistics, and produce zero output."""
+    H, I, E = 16, 24, 4
+    p = moe_init(jax.random.PRNGKey(3), H, I, E)
+    B, T = 2, 8
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, T, H))
+    valid = jnp.ones((B, T), jnp.int32).at[:, T // 2 :].set(0)
+
+    # Masked output at invalid slots is exactly zero.
+    y, aux = moe_mlp(p, x, top_k=2, capacity_factor=2.0, valid=valid)
+    np.testing.assert_array_equal(np.asarray(y[:, T // 2 :]), 0.0)
+
+    # Valid rows' outputs match a run over ONLY the valid prefix (same
+    # routing, and pads can no longer evict second choices): use a tight
+    # capacity so slot pressure matters.
+    y_prefix, aux_prefix = moe_mlp(
+        p, x[:, : T // 2], top_k=2, capacity_factor=1.0
+    )
+    y_tight, aux_tight = moe_mlp(p, x, top_k=2, capacity_factor=0.5, valid=valid)
+    # capacity(N=16, f=0.5) == capacity(N=8, f=1.0) == 4 slots/expert
+    assert expert_capacity(B * T, E, 2, 0.5) == expert_capacity(B * T // 2, E, 2, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(y_tight[:, : T // 2]), np.asarray(y_prefix), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(float(aux_tight), float(aux_prefix), rtol=1e-6)
