@@ -33,6 +33,9 @@ class OFTModelConfig(base_exp.Config):
     use_proprio: bool = False
     proprio_dim: Optional[int] = None
     num_bins: int = 256
+    # matches the reference's discrete-decode slice off-by-one by default
+    # (required for DB checkpoint replay); set False for corrected decode
+    reference_parity: bool = True
     seed: int = 0
 
     def build_config(self) -> OFTConfig:
@@ -48,6 +51,7 @@ class OFTModelConfig(base_exp.Config):
             use_proprio=self.use_proprio,
             proprio_dim=self.proprio_dim,
             num_bins=self.num_bins,
+            reference_parity=self.reference_parity,
         )
 
     def build_params(self, cfg: OFTConfig):

@@ -45,6 +45,14 @@ class OFTConfig:
     num_bins: int = 256
     num_diffusion_steps: int = 100
     ddim_steps: int = 10
+    # Replicate the reference's discrete-decode bin slice EXACTLY, including
+    # its off-by-one: it reads the last num_bins-1 vocab slots
+    # (oft_discrete_arch.py:223 `[-num_bins+1:]`) while mapping indices with a
+    # (num_bins-1) denominator — so every decoded action is shifted one bin
+    # relative to the train-time labels.  Default True: checkpoint REPLAY of
+    # DB-OFT-Discrete weights must be bin-for-bin identical.  Set False for
+    # from-scratch training to get the corrected full-range slice.
+    reference_parity: bool = True
 
     @property
     def num_action_tokens(self) -> int:
@@ -300,10 +308,7 @@ def oft_inference_action(
         if cfg.use_proprio:
             hid = hid[:, 1:]
         logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid)
-        # NOTE: the reference slices [-num_bins+1:] (oft_discrete_arch.py:223),
-        # an off-by-one against its own (num_bins-1)-denominator bin map; we
-        # slice the full bin range so train labels and decode agree exactly.
-        bins = jnp.argmax(logits[:, :, -cfg.num_bins :], axis=-1)
+        bins = jnp.argmax(logits[:, :, -decode_slots(cfg) :], axis=-1)
         return bins_to_continuous(bins, cfg)
 
     # Diffusion: prefill prompt once, DDIM over the segment only
@@ -326,6 +331,16 @@ def oft_inference_action(
         )
 
     return sched.ddim_sample(eps_fn, noise, ddim_steps)
+
+
+def decode_slots(cfg: OFTConfig) -> int:
+    """Trailing vocab slots read at discrete decode.
+
+    reference_parity=True replicates `[-num_bins+1:]`
+    (oft_discrete_arch.py:223,265): num_bins-1 slots, so decoded indices are
+    shifted one bin vs the labels; False reads the full num_bins range.
+    """
+    return cfg.num_bins - 1 if cfg.reference_parity else cfg.num_bins
 
 
 def bins_to_continuous(bins: jnp.ndarray, cfg: OFTConfig) -> jnp.ndarray:
@@ -352,7 +367,7 @@ def oft_generate_action(
     if cfg.use_proprio:
         hid = hid[:, 1:]
     logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid).astype(jnp.float32)
-    logits = logits[:, :, -cfg.num_bins :] / temperature
+    logits = logits[:, :, -decode_slots(cfg) :] / temperature
     bins = jax.random.categorical(rng, logits, axis=-1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     chosen_logp = jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
@@ -371,7 +386,7 @@ def oft_action_log_probs(
     if cfg.use_proprio:
         hid = hid[:, 1:]
     logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid).astype(jnp.float32)
-    logits = logits[:, :, -cfg.num_bins :] / temperature
+    logits = logits[:, :, -decode_slots(cfg) :] / temperature
     logp = jax.nn.log_softmax(logits, axis=-1)
     chosen = jnp.take_along_axis(logp, bins[..., None], axis=-1)[..., 0]
     probs = jnp.exp(logp)

@@ -494,6 +494,78 @@ def test_oft_l1_full_policy_parity(ref_env, clip_dir):
     np.testing.assert_allclose(ours, acts_ref, atol=ATOL)
 
 
+def test_oft_discrete_full_policy_parity(ref_env, clip_dir):
+    """VERDICT r3 #3: bin-for-bin identical decode vs the reference's own
+    parallel discrete decoding (oft_discrete_arch.py:207-235), INCLUDING its
+    [-num_bins+1:] slice off-by-one (reference_parity=True default)."""
+    from dexbotic.model.oft.oft_discrete_arch import (
+        OFTDiscreteConfig as RefCfg,
+        OFTDiscreteForCausalLM,
+    )
+
+    from dexbotic_tpu.models.oft import OFTConfig, oft_inference_action
+    from dexbotic_tpu.models.vlm import VLMConfig
+    from dexbotic_tpu.utils.convert import convert_oft
+
+    num_bins = 64
+    cfg_r = RefCfg(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu", action_model_type="Discrete",
+        action_dim=7, chunk_size=4, num_bins=num_bins,
+    )
+    torch.manual_seed(13)
+    ref = OFTDiscreteForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(14)
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13]])
+    img = rs.randn(1, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        acts_ref = np.array(
+            ref.inference_action(
+                torch.tensor(ids_ref), torch.tensor(img),
+                inference_args={
+                    "action_norms": {"min": [-1.0] * 7, "max": [1.0] * 7},
+                },
+            )
+        )
+
+    cfg = OFTConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"),
+        action_model_type="Discrete", action_dim=7, chunk_size=4,
+        num_bins=num_bins, reference_parity=True,
+    )
+    params = convert_oft(_sd(ref), cfg)
+    nt = cfg.vlm.num_image_tokens
+    ids = jnp.asarray([[1, 7] + [IMAGE_TOKEN_INDEX] * nt + [9, 11, 13]])
+    out = oft_inference_action(
+        params, cfg, ids, jnp.ones(ids.shape, jnp.int32),
+        jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+    )
+    ours = np.asarray(out[0])
+    # decoded continuous chunks agree ...
+    np.testing.assert_allclose(ours, acts_ref, atol=ATOL)
+    # ... and the underlying BIN IDS are identical (bin pitch 2/63 >> atol)
+    to_bins = lambda a: np.round((a + 1.0) / 2.0 * (num_bins - 1)).astype(np.int64)
+    np.testing.assert_array_equal(to_bins(ours), to_bins(acts_ref))
+
+    # the corrected (opt-in) decode reads the full num_bins range: on the
+    # same weights it must read one extra slot and generally shift bins
+    import dataclasses as _dc
+
+    cfg_fix = _dc.replace(cfg, reference_parity=False)
+    out_fix = np.asarray(
+        oft_inference_action(
+            params, cfg_fix, ids, jnp.ones(ids.shape, jnp.int32),
+            jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        )[0]
+    )
+    # Same vocab slot wins both decodes unless the extra (first) slot wins
+    # the full range: then the full-decode bin is 0.  Everywhere else the
+    # full-decode bin is exactly parity-bin + 1 (the documented shift).
+    shift = to_bins(out_fix) - to_bins(ours)
+    assert np.all((shift == 1) | (to_bins(out_fix) == 0))
+
+
 # ---------------------------------------------------------------------------
 # MemVLA memory-conditioned DiT + bank modules
 # ---------------------------------------------------------------------------

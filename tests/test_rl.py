@@ -19,7 +19,7 @@ from dexbotic_tpu.exp.rl.rl_trainer import (
     flatten_rollouts,
     prepare_update_batch,
 )
-from dexbotic_tpu.models.oft import OFTConfig, init_oft, oft_generate_action
+from dexbotic_tpu.models.oft import OFTConfig, decode_slots, init_oft, oft_generate_action
 from dexbotic_tpu.models.presets import LLM_TEST, VIT_TEST
 from dexbotic_tpu.models.vlm import VLMConfig
 from dexbotic_tpu.sim_envs.factory import create_env_batch
@@ -216,7 +216,9 @@ def test_rl_update_sharded_on_mesh():
         "input_ids": jnp.asarray(ids),
         "prompt_valid": jnp.ones((B, nt + 4), bool),
         "images": jnp.asarray(rs.rand(B, 1, 28, 28, 3), jnp.float32),
-        "bins": jnp.asarray(rs.randint(0, 32, (B, T))),
+        # rollout bins always come from oft_generate_action, whose categorical
+        # samples over decode_slots(cfg) slots — stay in that range
+        "bins": jnp.asarray(rs.randint(0, decode_slots(OFT), (B, T))),
         "old_logp": jnp.asarray(-3.5 * np.ones((B, T)), jnp.float32),
         "advantages": jnp.asarray(rs.randn(B, T), jnp.float32),
         "token_mask": jnp.ones((B, T), jnp.float32),
