@@ -108,6 +108,18 @@ class MemVLAExp(base_exp.BaseExp):
             group_size=self.model.group_size, seed=self.trainer.seed,
         )
 
+    def load_for_inference(self):
+        return _memvla_load_for_inference(self)
+
+    def inference(self):
+        """Stateful action server (memvla_exp.py:309-358 contract:
+        'episode_first_frame' form field resets the memory bank)."""
+        from dexbotic_tpu.exp.serve import MemVLAServer
+
+        cfg, params, norms = self.load_for_inference()
+        tokenizer = self.tokenizer.build_tokenizer()
+        MemVLAServer(self, cfg, params, tokenizer, norms).run()
+
     def train(self):
         """Episode-ordered training: batches follow the mem-trainer schedule,
         carry in-episode frame indices as 'timesteps' and per-row
@@ -158,6 +170,20 @@ class MemVLAExp(base_exp.BaseExp):
                     return
 
         return trainer.train(batches())
+
+
+def _memvla_load_for_inference(exp: "MemVLAExp"):
+    import json
+    import os
+
+    cfg = exp.model.build_config()
+    params = exp.prepare_inference_params(exp.model.build_params(cfg))
+    norms = None
+    if exp.model.model_name_or_path:
+        p = os.path.join(exp.model.model_name_or_path, "norm_stats.json")
+        if os.path.exists(p):
+            norms = json.load(open(p))["norm_stats"]["default"]
+    return cfg, params, norms
 
 
 class MemVLAInferenceSession:

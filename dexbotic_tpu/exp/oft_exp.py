@@ -112,6 +112,14 @@ class OFTExp(base_exp.BaseExp):
 
         return lambda *a: _infer(params, *a)
 
+    def inference(self):
+        from dexbotic_tpu.exp.serve import OFTServer
+
+        cfg, params, norms = self.load_for_inference()
+        tokenizer = self.tokenizer.build_tokenizer()
+        OFTServer(self, cfg, params, tokenizer, norms,
+                  micro_batch=self.serve_micro_batch).run()
+
 
 @dataclass
 class OFTDiscreteExp(OFTExp):

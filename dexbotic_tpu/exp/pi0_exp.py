@@ -69,11 +69,22 @@ class FlowModelConfig(base_exp.Config):
 
 @dataclass
 class Pi0ActionConfig(base_exp.ActionConfig):
-    """pi0 action pipeline: pad state/action to 32-D, 50-step unflattened
-    trajectory, delta, quantile norm (pi0_exp.py:123-136)."""
+    """pi0 action pipeline, reference order (pi0_exp.py:225-242): pad
+    state/action to 32-D FIRST, 50-step unflattened 'last'-padded trajectory,
+    THEN delta (every chunk step relative to the WINDOW-START state), then
+    normalize action AND state — mean/std for pi0 (``use_quantiles=False``),
+    quantile for pi0.5/DM0 (pi05_exp.py:72-89, dm0_exp.py:244-264)."""
 
     trajectory_length: int = 50
     action_ndim: int = 32
+    use_quantiles: bool = False
+
+    def _stats_mapping(self, stats: dict) -> dict:
+        # pi0-format norm files carry {'action': ..., 'state': ...}; accept
+        # the CogACT-format {'default': ...} by aliasing it to 'action'
+        if "action" not in stats and "default" in stats:
+            return {"action": stats["default"], "default": stats["default"]}
+        return stats
 
     def build_action_process_func(self) -> T.Pipeline:
         stats = self._read_norm_stats(self.statistic_mapping)
@@ -82,19 +93,19 @@ class Pi0ActionConfig(base_exp.ActionConfig):
                 T.ToDict(),
                 T.ToNumpy(),
                 T.AddAction(predict_length=1),
-                T.DeltaAction(enable=self.delta),
+                T.PadState(ndim=self.action_ndim),
+                T.PadAction(ndim=self.action_ndim),
                 T.AddTrajectory(
                     trajectory_length=self.trajectory_length,
                     flatten=False,
-                    padding_mode=self.trajectory_padding_mode,
-                    padding_action=True,
+                    padding_mode="last",
+                    padding_action=self.padding_action,
                 ),
-                T.PadState(ndim=self.action_ndim),
-                T.PadAction(ndim=self.action_ndim),
+                T.DeltaAction(enable=self.delta),
                 T.ActionNorm(
-                    statistic_mapping={"action": stats["default"], "default": stats["default"]},
+                    statistic_mapping=self._stats_mapping(stats),
                     strict=False,
-                    use_quantiles=True,
+                    use_quantiles=self.use_quantiles,
                 ),
                 LoadMultiModal(return_masks=self.load_multimodal_masks),
                 T.AddPromptTemplate(prompt_template=self.prompt_template),
@@ -108,19 +119,25 @@ class Pi0ActionConfig(base_exp.ActionConfig):
 @dataclass
 class Pi0InferenceConfig(base_exp.Config):
     """Serving-side transform pipelines (exp/pi0_exp.py:343-514): input
-    state padding + output delta->absolute / relative->delta conversion."""
+    state padding + output delta->absolute / relative->delta conversion.
+    The reference's pi0 server ALWAYS runs AbsoluteAction on the denormed
+    chunk (pi0_exp.py:370-376) with non_delta_mask defaulting to the gripper
+    dim [6] (pi0_exp.py:321)."""
 
-    absolute_action: bool = False
+    absolute_action: bool = True
     relative_to_delta: bool = False
     action_dim_out: int = 7  # env action dims (rest of the 32 are padding)
+    non_delta_mask: Optional[list] = field(default_factory=lambda: [6])
 
     def build_output_transforms(self, meta_data: dict):
+        meta = {"non_delta_mask": self.non_delta_mask, "periodic_mask": None,
+                "periodic_range": None, **meta_data}
         out = []
         if self.relative_to_delta:
             out.append(T.Relative2Delta())
         if self.absolute_action:
             out.append(T.AbsoluteAction())
-        return T.Pipeline(out), meta_data
+        return T.Pipeline(out), meta
 
 
 @dataclass
@@ -173,7 +190,11 @@ class Pi0Exp(base_exp.BaseExp):
         if self.model.model_name_or_path:
             p = os.path.join(self.model.model_name_or_path, "norm_stats.json")
             if os.path.exists(p):
-                norms = json.load(open(p))["norm_stats"]["default"]
+                # the FULL stats mapping ({'action':..,'state':..} for pi0
+                # files, or CogACT-format {'default':..}) — the server's
+                # ServingStats normalizes state in and denorms action out
+                # (ref pi0_exp.py:343-351 read_normalization_stats)
+                norms = json.load(open(p))["norm_stats"]
         return cfg, params, norms
 
     def make_infer_fn(self, cfg, params):
@@ -220,16 +241,20 @@ class Pi0Exp(base_exp.BaseExp):
             vals = np.asarray(states, np.float32).ravel()
             s[0, : len(vals)] = vals
 
+        from dexbotic_tpu.exp.serve import ServingStats
+
+        mapping = norms
+        if norms is not None and not isinstance(norms.get("action"), dict):
+            mapping = {"action": norms.get("default", norms)}
+        stats = ServingStats(mapping, self.action.use_quantiles)
+
         infer = self.make_infer_fn(cfg, params)
         actions = np.asarray(jax.device_get(infer(
-            ids, text_mask, jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(s),
+            ids, text_mask, jnp.asarray(imgs), jnp.asarray(masks),
+            jnp.asarray(stats.normalize("state", s)),
             jax.random.PRNGKey(0),
         )))[0]
-        if norms is not None:
-            lo = np.asarray(norms["min"]); hi = np.asarray(norms["max"])
-            d = min(actions.shape[-1], len(lo))
-            a = np.clip(actions[:, :d], -1, 1)
-            actions = lo[:d] + (a + 1) * 0.5 * (hi[:d] - lo[:d])
+        actions = stats.denormalize("action", np.asarray(actions, np.float64))
         print(actions.tolist())
         return actions
 
@@ -240,6 +265,14 @@ class Pi05Exp(Pi0Exp):
     model: FlowModelConfig = field(
         default_factory=lambda: FlowModelConfig(
             variant="pi05", expert_preset="gemma_300m_adarms"
+        )
+    )
+    # pi0.5 normalizes with q01/q99 quantiles, not mean/std
+    # (ref pi05_exp.py:83 training, :123/:132 serving)
+    action: Pi0ActionConfig = field(
+        default_factory=lambda: Pi0ActionConfig(
+            load_multimodal_masks=True, prompt_template="{prompt}",
+            use_quantiles=True,
         )
     )
 
@@ -256,6 +289,13 @@ class DM0Exp(Pi0Exp):
     tokenizer: base_exp.TokenizerConfig = field(
         default_factory=lambda: base_exp.TokenizerConfig(
             model_max_length=100, chat_template="step"
+        )
+    )
+    # DM0 is quantile-normalized like pi0.5 (ref dm0_exp.py:258,:351-360)
+    action: Pi0ActionConfig = field(
+        default_factory=lambda: Pi0ActionConfig(
+            load_multimodal_masks=True, prompt_template="{prompt}",
+            use_quantiles=True,
         )
     )
 

@@ -50,17 +50,71 @@ def parse_multipart(headers: dict, body: bytes):
     return fields, files
 
 
-def _cogact_prompt_ids(exp, cfg, tokenizer, prompt: str) -> list:
-    """Raw task prompt -> token ids with image placeholders expanded.
+class ServingStats:
+    """Serving-side state-normalize / action-denormalize, mirroring the
+    reference's ActionNorm/ActionDenorm pipelines bit-for-bit
+    (/root/reference/dexbotic/data/dataset/transform/action.py:250-278,
+    output.py:123-163 and exp/pi0_exp.py:363-376): ``use_quantiles`` picks
+    (x-min)/(max-min+1e-6)*2-1 vs (x-mean)/(std+1e-6); denorm pads stats to
+    the data width with identity values and does NOT clip."""
 
-    Mirrors the reference's serving path (exp/cogact_exp.py:145-167):
-    prompt template -> conversation template -> tokenizer_image_token.
+    def __init__(self, mapping, use_quantiles: bool):
+        self.mapping = mapping if isinstance(mapping, dict) else {}
+        self.use_quantiles = use_quantiles
+
+    def has(self, key: str) -> bool:
+        return isinstance(self.mapping.get(key), dict)
+
+    def _st(self, key, names, width=None):
+        st = [np.asarray(self.mapping[key][n], np.float64).reshape(-1) for n in names]
+        if width is not None:  # identity-pad to the data width (output.py:141-163)
+            fill = {"min": -1.0, "max": 1.0, "mean": 0.0, "std": 1.0}
+            st = [
+                np.concatenate([v, np.full(width - v.shape[-1], fill[n])])
+                if v.shape[-1] < width else v
+                for n, v in zip(names, st)
+            ]
+        return st
+
+    def normalize(self, key: str, x: np.ndarray) -> np.ndarray:
+        if not self.has(key):
+            return x
+        if self.use_quantiles:
+            lo, hi = self._st(key, ("min", "max"))
+            return ((x - lo) / (hi - lo + 1e-6) * 2.0 - 1.0).astype(np.float32)
+        mean, std = self._st(key, ("mean", "std"))
+        return ((x - mean) / (std + 1e-6)).astype(np.float32)
+
+    def denormalize(self, key: str, x: np.ndarray) -> np.ndarray:
+        if not self.has(key):
+            return x
+        if self.use_quantiles:
+            lo, hi = self._st(key, ("min", "max"), width=x.shape[-1])
+            return (x + 1.0) / 2.0 * (hi - lo + 1e-6) + lo
+        mean, std = self._st(key, ("mean", "std"), width=x.shape[-1])
+        return x * (std + 1e-6) + mean
+
+
+def _cogact_prompt_ids(exp, cfg, tokenizer, prompt: str, assistant_stub=" ") -> list:
+    """Raw request text -> token ids with image placeholders expanded.
+
+    Byte-exact mirror of the reference's action-policy serving paths
+    (exp/cogact_exp.py:156-167, oft_exp.py:177-179, memvla_exp.py:334-336):
+    '<image>\\n' + text -> conversation template with a ``' '`` assistant
+    stub — so the prompt ends ``'ASSISTANT:  ' + sep2``, NOT ``'ASSISTANT:'``
+    — then tokenizer_image_token.  AR text policies use ``assistant_stub=None``
+    (discrete_vla_exp.py:115-117).  A configured '{prompt}'-style template is
+    applied first (client convenience; the reference's benchmark clients send
+    the already-templated question and its server only prepends the image
+    token).
     """
     template = exp.action.prompt_template
-    text = template.format(prompt=prompt) if "{prompt}" in template else template
+    text = template.format(prompt=prompt) if "{prompt}" in template else prompt
+    if "<image>" not in text:
+        text = "<image>\n" + text
     conv = conversation_lib.conv_templates[exp.tokenizer.chat_template].copy()
     conv.append_message(conv.roles[0], text)
-    conv.append_message(conv.roles[1], None)
+    conv.append_message(conv.roles[1], assistant_stub)
     full = conv.get_prompt()
     return tokenizer_image_token(
         full, tokenizer, num_image_tokens=cfg.vlm.num_image_tokens
@@ -468,6 +522,128 @@ class CogActServer(ActionServer):
         return results
 
 
+class OFTServer(CogActServer):
+    """OFT serving: the CogACT request contract plus an optional 'states'
+    form field carrying a JSON proprio vector, reshaped to one row
+    (/root/reference/dexbotic/exp/oft_exp.py:164-199).  Batched requests
+    carry B semicolon-separated JSON states."""
+
+    def _states(self, raws, B) -> np.ndarray:
+        dim = self.cfg.proprio_dim if self.cfg.use_proprio else 1
+        s = np.zeros((B, dim), np.float32)
+        for b, raw in enumerate(raws[:B]):
+            if raw:
+                vals = np.asarray(json.loads(raw), np.float32).reshape(-1)
+                s[b, : min(len(vals), dim)] = vals[:dim]
+        return s
+
+    def _infer_rows(self, prompts, payload_groups, pad_to=None, states=None):
+        B = len(prompts)
+        Bp = max(pad_to or B, B)
+        if states is None:
+            states = self._states([None] * B, B)
+        if Bp > B:
+            prompts = list(prompts) + [prompts[0]] * (Bp - B)
+            payload_groups = list(payload_groups) + [payload_groups[0]] * (Bp - B)
+            states = np.concatenate([states, np.repeat(states[:1], Bp - B, axis=0)], 0)
+        per = len(payload_groups[0])
+        assert all(len(g) == per for g in payload_groups), "ragged view groups"
+
+        rows = [self._prompt_ids(p) for p in prompts]
+        L = -(-max(len(r) for r in rows) // 64) * 64  # 64-wide length buckets
+        ids_np = np.zeros((Bp, L), np.int32)
+        valid_np = np.zeros((Bp, L), np.int32)
+        for b, r in enumerate(rows):
+            ids_np[b, : len(r)] = r
+            valid_np[b, : len(r)] = 1
+
+        proc = self.exp.data.build_image_processor()
+        flat = _cogact_images([p for g in payload_groups for p in g], proc)
+        imgs_np = flat.reshape(Bp, per, *flat.shape[1:])
+        self.rng, r = jax.random.split(self.rng)
+        out = np.asarray(
+            jax.device_get(
+                self.infer(
+                    jnp.asarray(ids_np), jnp.asarray(valid_np),
+                    jnp.asarray(imgs_np), jnp.asarray(states), r,
+                )
+            )
+        )
+        return self._denorm(out)[:B]
+
+    def get_response(self, fields, files):
+        prompt = fields.get("text", "")
+        B = int(fields.get("batch_size", 1))
+        prompts = prompt.split(";") if ";" in prompt else [prompt] * B
+        payloads = [p for _, p in files]
+        per = len(payloads) // B
+        groups = [payloads[i * per : (i + 1) * per] for i in range(B)]
+        raw_states = (fields.get("states") or "").split(";")
+        states = self._states(
+            [raw_states[b] if b < len(raw_states) else None for b in range(B)], B
+        )
+        out = self._infer_rows(prompts, groups, states=states)
+        return out[0].tolist() if B == 1 else out.tolist()
+
+    def get_batched_response(self, requests):
+        results = [None] * len(requests)
+        by_per: dict = {}
+        for i, (fields, files) in enumerate(requests):
+            payloads = [p for _, p in files]
+            by_per.setdefault(len(payloads), []).append((i, fields, payloads))
+        for per, items in by_per.items():
+            prompts = [f.get("text", "") for _, f, _ in items]
+            groups = [g for _, _, g in items]
+            states = self._states([f.get("states") for _, f, _ in items], len(items))
+            pad_to = self.micro_batch if len(items) > 1 else None
+            out = self._infer_rows(prompts, groups, pad_to=pad_to, states=states)
+            for k, (i, _, _) in enumerate(items):
+                results[i] = out[k].tolist()
+        return results
+
+
+class MemVLAServer(ActionServer):
+    """Stateful MemVLA serving (memvla_exp.py:309-358): the CogACT request
+    contract plus a REQUIRED 'episode_first_frame' field ('True'|'False');
+    'True' resets the memory bank.  Requests are strictly serialized by the
+    base class lock — the bank is cross-request state, so no micro-batching."""
+
+    def __init__(self, exp, cfg, params, tokenizer, norms,
+                 host="0.0.0.0", port=7891):
+        super().__init__(host, port)
+        from dexbotic_tpu.exp.memvla_exp import MemVLAInferenceSession
+
+        self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
+        self.session = MemVLAInferenceSession(exp, cfg, params, batch_size=1)
+        self.rng = jax.random.PRNGKey(0)
+        self._prompt_cache: dict = {}
+
+    _prompt_ids = CogActServer._prompt_ids
+    _denorm = CogActServer._denorm
+
+    def get_response(self, fields, files):
+        eff = fields.get("episode_first_frame")
+        assert eff in ("True", "False"), (
+            "episode_first_frame must be 'True' or 'False' (memvla_arch.py:677)"
+        )
+        if eff == "True":
+            self.session.reset()
+        ids = self._prompt_ids(fields.get("text", ""))
+        proc = self.exp.data.build_image_processor()
+        imgs = _cogact_images([p for _, p in files], proc)[None]
+        self.rng, r = jax.random.split(self.rng)
+        out = np.asarray(
+            jax.device_get(
+                self.session.step(
+                    jnp.asarray(np.asarray(ids, np.int32))[None],
+                    jnp.ones((1, len(ids)), jnp.int32),
+                    jnp.asarray(imgs), r,
+                )
+            )
+        )
+        return self._denorm(out)[0].tolist()
+
+
 class MUVLAServer(ActionServer):
     """Map-understanding VLA serving: first posted image is the MAP view,
     the rest are observation views (current + history); responds with the
@@ -586,7 +762,10 @@ class DiscreteVLAServer(ActionServer):
         frames, order = _decode_frames([p for _, p in files])
         proc = self.exp.data.build_image_processor()
         imgs = preprocess_images_batch(frames, proc, channel_order=order)
-        ids = _cogact_prompt_ids(self.exp, self.cfg, self.tokenizer, prompt)
+        # AR text policy: assistant slot stays empty (discrete_vla_exp.py:116)
+        ids = _cogact_prompt_ids(
+            self.exp, self.cfg, self.tokenizer, prompt, assistant_stub=None
+        )
         return np.asarray(ids, np.int32), imgs
 
     def get_response(self, fields, files):
@@ -635,6 +814,11 @@ class FlowVLAServer(ActionServer):
         super().__init__(host, port, micro_batch=micro_batch,
                          micro_batch_window_ms=micro_batch_window_ms)
         self.exp, self.cfg, self.tokenizer, self.norms = exp, cfg, tokenizer, norms
+        # serving normalization matches the exp's training variant: pi0 is
+        # mean/std, pi0.5/DM0 quantile (ref pi0_exp.py:366 vs pi05_exp.py:123)
+        self.stats = ServingStats(
+            norms, use_quantiles=getattr(exp.action, "use_quantiles", True)
+        )
         self.infer = exp.make_infer_fn(cfg, params)
         self.rng = jax.random.PRNGKey(0)
         self.num_images = exp.data.num_images
@@ -652,10 +836,16 @@ class FlowVLAServer(ActionServer):
 
     @staticmethod
     def _parse_state(row: str | None, dim: int) -> np.ndarray:
+        """One state row -> zero-padded [dim] (the reference's PadState,
+        action.py:5-30).  The reference contract is a JSON array
+        (pi0_exp.py:467-479); bare comma-separated floats also accepted."""
         s = np.zeros((dim,), np.float32)
         if row:
-            vals = np.asarray([float(x) for x in row.split(",")], np.float32)
-            s[: len(vals)] = vals
+            try:
+                vals = np.asarray(json.loads(row), np.float32).reshape(-1)
+            except (json.JSONDecodeError, ValueError):
+                vals = np.asarray([float(x) for x in row.split(",")], np.float32)
+            s[: len(vals)] = vals[:dim]
         return s
 
     def _infer_rows(self, prompts, payload_groups, state_rows, pad_to=None):
@@ -693,7 +883,9 @@ class FlowVLAServer(ActionServer):
             images_np[b, :keep] = flat[b * per : b * per + keep]
             masks_np[b, :keep] = 1
 
-        states_arr = jnp.asarray(np.stack(state_rows))
+        # input transform: normalize the (padded) state with the same stats
+        # the policy trained against (ref pi0_exp.py:364-370 ActionNorm)
+        states_arr = jnp.asarray(self.stats.normalize("state", np.stack(state_rows)))
         self.rng, r = jax.random.split(self.rng)
         raw = np.asarray(
             jax.device_get(
@@ -747,23 +939,31 @@ class FlowVLAServer(ActionServer):
         return results
 
     def _postprocess(self, out, state_row):
-        if self.norms is not None:
+        """Reference output transform (pi0_exp.py:370-376,500-514): denorm the
+        action (ActionDenorm), delta->absolute against the RAW request state
+        (AbsoluteAction with the exp's non_delta_mask), then slice the env
+        action dims — slicing comes LAST, matching `action[..., :action_dim]`."""
+        out = np.asarray(out, np.float64)
+        if self.stats.has("action"):
+            out = self.stats.denormalize("action", out)
+        elif self.norms is not None and "min" in self.norms:
+            # legacy flat {min,max} stats (CogACT-format norm files)
             lo = np.asarray(self.norms["min"], np.float64)
             hi = np.asarray(self.norms["max"], np.float64)
             d = min(out.shape[-1], len(lo))
             a = np.clip(out[:, :d], -1, 1)
-            out = lo[:d] + (a + 1) * 0.5 * (hi[:d] - lo[:d])
-        # serving-side output transforms (delta->absolute etc.)
+            out = np.concatenate(
+                [lo[:d] + (a + 1) * 0.5 * (hi[:d] - lo[:d]), out[:, d:]], axis=-1
+            )
         icfg = getattr(self.exp, "inference_cfg", None)
         if icfg is not None:
-            d_out = getattr(icfg, "action_dim_out", out.shape[-1])
-            out = out[:, :d_out]
-            pipe, _ = icfg.build_output_transforms({})
-            data = {
-                "action": out,
-                "state": state_row[:d_out],
-                "meta_data": {"non_delta_mask": None, "periodic_mask": None,
-                               "periodic_range": None},
-            }
-            out = np.asarray(pipe(data)["action"]) if pipe.transforms else out
+            pipe, meta = icfg.build_output_transforms({})
+            if pipe.transforms:
+                data = {
+                    "action": out,
+                    "state": np.asarray(state_row, np.float64),
+                    "meta_data": meta,
+                }
+                out = np.asarray(pipe(data)["action"])
+            out = out[:, : getattr(icfg, "action_dim_out", out.shape[-1])]
         return out.tolist()

@@ -383,6 +383,7 @@ def memvla_loss(params, cfg: MemVLAConfig, batch: dict, state: dict, rng: jax.Ar
 def memvla_inference_action(
     params, cfg: MemVLAConfig, input_ids, valid, images, state: dict,
     timestep: jnp.ndarray, rng: jax.Array, cfg_scale: Optional[float] = None,
+    noise: Optional[jnp.ndarray] = None,  # injectable initial noise (parity/replay)
 ):
     """One serving step: returns (actions [B,chunk,dim], new_state).
     Callers reset `state` on episode_first_frame (reset_mem_rows)."""
@@ -394,7 +395,8 @@ def memvla_inference_action(
     B = cog_f.shape[0]
     per_emb = core.linear(params["action_head"]["per_token_embedder"], per_f.astype(jnp.float32))
     head = params["action_head"]
-    noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
     sched = DiffusionSchedule.create(cfg.diffusion_steps)
 
     if cfg_scale > 1.0:

@@ -44,9 +44,12 @@ class Conversation:
             return out
         if self.sep_style == SeparatorStyle.LLAMA_3:
             out = self.system + self.sep
-            for role, msg in self.messages:
+            for rid, (role, msg) in enumerate(self.messages):
                 if msg:
-                    out += role + msg + self.sep
+                    # the LAST message closes with sep2 (<|end_of_text|>),
+                    # earlier ones with sep (conversation.py:95-105)
+                    sep = self.sep if rid < len(self.messages) - 1 else self.sep2
+                    out += role + msg + sep
                 else:
                     out += role
             return out
