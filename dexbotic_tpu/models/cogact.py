@@ -78,6 +78,8 @@ def cogact_loss(
     rng: jax.Array,
     remat: bool = False,
     with_text_loss: bool = False,
+    diffusion_t: Optional[jnp.ndarray] = None,  # [B*rep] injectable (parity)
+    diffusion_noise: Optional[jnp.ndarray] = None,  # [B*rep, chunk, dim]
 ) -> tuple[jnp.ndarray, dict]:
     """Training loss.  batch: input_ids, attention_mask, images, actions
     [B, >=chunk, action_dim] (+labels / has_text / has_action for hybrid
@@ -98,10 +100,13 @@ def cogact_loss(
 
     def eps_fn(x_t, t):
         return dit_mod.dit_forward(
-            params["action_head"], cfg.dit, x_t, t, cog_rep, drop_rng=k_drop
+            params["action_head"], cfg.dit, x_t, t, cog_rep,
+            drop_rng=None if diffusion_noise is not None else k_drop,
         )
 
-    action_loss = sched.training_loss(eps_fn, actions_rep, k_diff)
+    action_loss = sched.training_loss(
+        eps_fn, actions_rep, k_diff, t=diffusion_t, noise=diffusion_noise
+    )
     metrics = {"action_loss": action_loss}
     loss = action_loss
 

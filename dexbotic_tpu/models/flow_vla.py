@@ -230,14 +230,18 @@ def _streams(params, cfg, prefix_tokens, suffix_tokens, cond):
 
 
 def flow_vla_loss(
-    params, cfg: FlowVLAConfig, batch: dict, rng: jax.Array, remat: bool = False
+    params, cfg: FlowVLAConfig, batch: dict, rng: jax.Array, remat: bool = False,
+    noise: Optional[jnp.ndarray] = None,  # injectable (parity/replay)
+    time: Optional[jnp.ndarray] = None,  # [B] injectable Beta(1.5,1) draws
 ):
     """Flow-matching MSE (pi0_arch.py:317-400)."""
     actions = batch["actions"].astype(jnp.float32)  # [B, chunk, action_dim]
     B = actions.shape[0]
     k_n, k_t = jax.random.split(rng)
-    noise = jax.random.normal(k_n, actions.shape, jnp.float32)
-    time = jax.random.beta(k_t, 1.5, 1.0, (B,)).astype(jnp.float32) * 0.999 + 0.001
+    if noise is None:
+        noise = jax.random.normal(k_n, actions.shape, jnp.float32)
+    if time is None:
+        time = jax.random.beta(k_t, 1.5, 1.0, (B,)).astype(jnp.float32) * 0.999 + 0.001
     t_exp = time[:, None, None]
     x_t = t_exp * noise + (1 - t_exp) * actions
     u_t = noise - actions

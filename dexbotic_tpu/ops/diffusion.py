@@ -57,12 +57,17 @@ class DiffusionSchedule:
         ab = ab.reshape(shape)
         return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
 
-    def training_loss(self, eps_fn, x0: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """Epsilon-prediction MSE at uniformly sampled t (fp32)."""
+    def training_loss(self, eps_fn, x0: jnp.ndarray, rng: jax.Array,
+                      t: jnp.ndarray | None = None,
+                      noise: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Epsilon-prediction MSE at uniformly sampled t (fp32).  `t`/`noise`
+        are injectable for torch-parity tests and checkpoint-replay pinning."""
         k_t, k_n = jax.random.split(rng)
         B = x0.shape[0]
-        t = jax.random.randint(k_t, (B,), 0, self.num_steps)
-        noise = jax.random.normal(k_n, x0.shape, jnp.float32)
+        if t is None:
+            t = jax.random.randint(k_t, (B,), 0, self.num_steps)
+        if noise is None:
+            noise = jax.random.normal(k_n, x0.shape, jnp.float32)
         x_t = self.q_sample(x0.astype(jnp.float32), t, noise)
         eps_pred = eps_fn(x_t, t)
         return jnp.mean(jnp.square(eps_pred.astype(jnp.float32) - noise))
