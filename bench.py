@@ -24,11 +24,12 @@ per chunk from the config and ASSERT the implied TFLOP/s is below the
 chip's peak before printing; achieved TFLOP/s and MFU are printed next to
 chunks/s so inflation is visible.
 
-The reference publishes no throughput numbers (SURVEY.md §6); the baseline
-used for `vs_baseline` is a measured-estimate of the reference's PyTorch
-CogACT serving rate on A100 (~7 chunks/s for the 7B model: sequential ViT +
-prefill + 10 separate DiT launches).  We scale that estimate to the model
-size benched here; see BENCH_NOTES.md.
+The reference publishes no throughput numbers (SURVEY.md §6); `vs_baseline`
+divides by a FLOP-DERIVED BOUND on an A100 running the same model — A100
+dense-bf16 peak (312 TFLOP/s) x an assumed 25% serving MFU, which favors
+the baseline (see BASELINE_KIND below and BASELINE.md "Throughput
+baseline").  Ratios are therefore LOWER bounds on the speedup vs the
+reference's own eager-torch serving loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -150,7 +151,26 @@ def _llm_nonembed(params_llm, cfg_llm):
     return p
 
 
-def check_and_report(metric, B, dt, flops_per_chunk, baseline):
+# --- Baseline (derived, labeled): the reference publishes NO throughput or
+# latency numbers (BASELINE.md, SURVEY.md §6), so `vs_baseline` divides by a
+# FLOP-DERIVED BOUND on the reference's A100 serving rate for the SAME model
+# and chunk FLOPs:  A100 dense-bf16 peak (312 TFLOP/s, NVIDIA A100 datasheet)
+# x an assumed 25% serving MFU.  25% deliberately FAVORS the baseline —
+# eager-torch VLA serving (sequential ViT -> prefill -> 10 separate DiT/Euler
+# launches at batch 1-8, reference exp/*_exp.py) is dispatch-bound and
+# single-digit-MFU in practice, while 25% is what well-tuned batched LLM
+# inference reaches.  Every ratio printed against this bound is therefore a
+# LOWER bound on the true speedup vs the reference's own stack.
+A100_BF16_PEAK_TFLOPS = 312.0
+BASELINE_ASSUMED_MFU = 0.25
+BASELINE_KIND = "a100-bf16-peak-x25pct-mfu-flop-bound (derived; favors baseline)"
+
+
+def derived_baseline_chunks_per_sec(flops_per_chunk: float) -> float:
+    return A100_BF16_PEAK_TFLOPS * 1e12 * BASELINE_ASSUMED_MFU / flops_per_chunk
+
+
+def check_and_report(metric, B, dt, flops_per_chunk):
     """Roofline self-check + single-line JSON report.
 
     dt: seconds per scan iteration (one chunk batch of B)."""
@@ -163,23 +183,19 @@ def check_and_report(metric, B, dt, flops_per_chunk, baseline):
         f"> v5e peak {V5E_PEAK_TFLOPS} — the timing scan is being hoisted; "
         f"refusing to print an inflated number."
     )
+    baseline = derived_baseline_chunks_per_sec(flops_per_chunk)
     print(json.dumps({
         "metric": metric,
         "value": round(chunks_per_sec, 3),
         "unit": "chunks/s/chip",
         "vs_baseline": round(chunks_per_sec / baseline, 3),
+        "baseline_chunks_per_sec": round(baseline, 2),
+        "baseline_kind": BASELINE_KIND,
         "batch": B,
         "achieved_tflops": round(tflops, 1),
         "mfu": round(mfu, 3),
         "tflop_per_chunk": round(flops_per_chunk / 1e12, 3),
     }))
-
-
-# Estimated reference (PyTorch A100) chunk rates for comparable model sizes.
-# CogACT-7B serving measures ~100-150ms/chunk on A100 in the authors' stack;
-# smaller backbones scale roughly linearly in LLM FLOPs.  ESTIMATE — the
-# reference publishes no throughput numbers (BASELINE.md).
-BASELINE_CHUNKS_PER_SEC = {"test": 200.0, "1b": 25.0, "2b": 15.0, "7b": 7.0}
 
 # Default serving batch: 8 (the production micro-batching regime — the
 # action server coalesces concurrent robot clients, exp/serve.py) except at
@@ -330,9 +346,8 @@ def main_pi0():
             + _attn_flops(t_suf, s_pre + t_suf, d_exp, cfg.expert.num_layers)
         )
     )
-    baseline = {"test": 150.0, "1b": 20.0, "2b": 15.0, "7b": 12.0}.get(SCALE, 15.0)
     check_and_report(f"pi0_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
-                     B, dt, flops / B, baseline)
+                     B, dt, flops / B)
 
 
 def main_oft():
@@ -382,9 +397,8 @@ def main_oft():
         2.0 * p_vit * nt
         + 2.0 * p_llm * s + _attn_flops(s, s, d_llm, cfg.vlm.llm.num_layers)
     )
-    baseline = {"test": 300.0, "1b": 40.0, "2b": 25.0, "7b": 14.0}.get(SCALE, 25.0)
     check_and_report(f"oft_l1_{SCALE}{_qtag()}_action_chunks_per_sec_chip",
-                     B, dt, flops / B, baseline)
+                     B, dt, flops / B)
 
 
 def main():
@@ -452,10 +466,9 @@ def main():
         + 2.0 * p_llm * s + _attn_flops(s, s, d_llm, cfg.vlm.llm.num_layers)
         + cfg.ddim_steps * cfg_mult * 2.0 * p_dit * t_dit
     )
-    baseline = BASELINE_CHUNKS_PER_SEC.get(SCALE, 7.0)
     stag = f"_dpm{cfg.ddim_steps}" if cfg.sampler == "dpm" else ""
     check_and_report(f"cogact_{SCALE}{_qtag()}{stag}_action_chunks_per_sec_chip",
-                     B, dt, flops / B, baseline)
+                     B, dt, flops / B)
 
 
 if __name__ == "__main__":
