@@ -199,10 +199,12 @@ def check_and_report(metric, B, dt, flops_per_chunk):
 
 # Default serving batch: 8 (the production micro-batching regime — the
 # action server coalesces concurrent robot clients, exp/serve.py) except at
-# 7b where batching measures SLOWER than B=1 (dequant-copy HBM traffic;
-# BENCH_NOTES).  The JSON line carries "batch" so every number is
-# attributable; override with BENCH_BATCH=1 for the latency regime.
-DEFAULT_BATCH = "1" if SCALE == "7b" else "8"
+# 7b weight-only int8, where batching measures SLOWER than B=1 (XLA
+# re-materializes the bf16 dequant per forward; BENCH_NOTES).  W8A8 fixes
+# that — batched 7b prefill lands at M>=5k rows on the int8 MXU and B=8
+# measures 21.4 chunks/s vs 17.1 at B=1 (round 4) — so w8a8 defaults to 8.
+# The JSON line carries "batch"; override with BENCH_BATCH.
+DEFAULT_BATCH = "1" if (SCALE == "7b" and QUANT != "w8a8") else "8"
 
 
 def build(scale: str):
