@@ -86,20 +86,29 @@ class MemVLAExp(base_exp.BaseExp):
 
     def build_model(self, tokenizer):
         """Stateful loss: the bank state is threaded through the Trainer's
-        aux-state carry (Trainer(aux_state=...), exp/trainer.py)."""
+        aux-state carry (Trainer(aux_state=...), exp/trainer.py).  'group'/
+        'stream' dataloader modes use the sequential single-bank semantics
+        (batch rows are consecutive frames of one episode,
+        memvla_arch.py:329-360); 'parallel_stream' keeps per-row banks."""
         cfg = self.model.build_config()
         params = self.model.build_params(cfg)
+        sequential = self.model.dataloader_type in ("group", "stream")
 
         def loss_fn(params, batch, rng, state):
             # per-row episode reset + in-episode frame index from the
             # episode-ordered schedule (mem_trainer.episode_batches)
-            loss, metrics, new_state = memvla_loss(params, cfg, batch, state, rng)
+            loss, metrics, new_state = memvla_loss(
+                params, cfg, batch, state, rng, sequential_bank=sequential
+            )
             new_state = jax.lax.stop_gradient(new_state)
             return loss, metrics, new_state
 
         return cfg, params, loss_fn
 
     def build_aux_state(self, batch_size: int):
+        # group/stream: ONE shared episode bank regardless of batch size
+        if self.model.dataloader_type in ("group", "stream"):
+            batch_size = 1
         return init_mem_state(self.model.build_config(), batch_size)
 
     def make_data_schedule(self, dataset, batch_size):
@@ -143,6 +152,20 @@ class MemVLAExp(base_exp.BaseExp):
             norm_stats_json = f.read()
 
         B = self.trainer.per_device_batch_size
+        mode = self.model.dataloader_type
+        if mode == "group":
+            assert B == self.model.group_size, (
+                f"'group' mode trains one group per step: set "
+                f"per_device_batch_size ({B}) == group_size "
+                f"({self.model.group_size})"
+            )
+        if mode in ("group", "stream"):
+            # the batch is consecutive frames of ONE episode scanned against
+            # a single shared bank — rows cannot be data-sharded
+            assert self.trainer.mesh_data in (None, 1), (
+                f"'{mode}' mode is sequential within the batch; use "
+                f"mesh_data=1 (got {self.trainer.mesh_data})"
+            )
         trainer = Trainer(
             loss_fn, params, self.trainer, self.optimizer,
             norm_stats_json=norm_stats_json,
@@ -162,9 +185,12 @@ class MemVLAExp(base_exp.BaseExp):
                         [float(dataset.global_index[i][2]) for i, _ in sched],
                         np.float32,
                     )
-                    batch["episode_reset"] = np.asarray(
-                        [start for _, start in sched], bool
-                    )
+                    resets = [start for _, start in sched]
+                    if mode == "group":
+                        # the reference clears ALL banks at the head of every
+                        # 'group' forward (memvla_arch.py:330-333)
+                        resets[0] = True
+                    batch["episode_reset"] = np.asarray(resets, bool)
                     yield batch
                 if not any_batch:
                     return

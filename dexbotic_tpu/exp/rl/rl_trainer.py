@@ -155,13 +155,34 @@ def allgather_rollouts(buf: RolloutBuffer, pad_prompt_to: Optional[int] = None) 
         pad = pad_prompt_to - buf.input_ids.shape[1]
         buf.input_ids = np.pad(buf.input_ids, ((0, 0), (0, pad)))
         buf.prompt_valid = np.pad(buf.prompt_valid, ((0, 0), (0, pad)))
+
+    # process_allgather needs identical shapes on every process, but
+    # per-process episode counts can differ (crashed envs, uneven group
+    # assignment): exchange counts, right-pad every per-episode array to the
+    # global max, gather, then compact the padding back out — identical on
+    # all hosts, so the downstream filter/redistribute stays replicated.
+    counts = np.asarray(multihost.allgather(np.asarray([buf.n], np.int32))).reshape(-1)
+    n_max = int(counts.max())
+
+    def pad_rows(a):
+        if a.shape[0] == n_max:
+            return a
+        return np.pad(a, [(0, n_max - a.shape[0])] + [(0, 0)] * (a.ndim - 1))
+
+    # rows gathered as [P * n_max, ...]; keep [p * n_max : p * n_max + counts[p]]
+    keep = np.concatenate(
+        [p * n_max + np.arange(c) for p, c in enumerate(counts)]
+    )
     g = RolloutBuffer.__new__(RolloutBuffer)
-    g.n = buf.n * jax.process_count()
+    g.n = int(counts.sum())
     g.max_chunks = buf.max_chunks
-    g.obs = {k: np.asarray(multihost.allgather(v)) for k, v in buf.obs.items()}
+    g.obs = {
+        k: np.asarray(multihost.allgather(pad_rows(v)))[keep]
+        for k, v in buf.obs.items()
+    }
     for name in ("input_ids", "prompt_valid", "bins", "old_logp",
                  "chunk_count", "success", "truncated", "group_index"):
-        setattr(g, name, np.asarray(multihost.allgather(getattr(buf, name))))
+        setattr(g, name, np.asarray(multihost.allgather(pad_rows(getattr(buf, name))))[keep])
     return g
 
 

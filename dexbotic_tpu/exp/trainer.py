@@ -247,7 +247,9 @@ class Trainer:
 
     def _init_wandb(self):
         """Optional W&B (reference: WANDB_PROJECT env + HF Trainer hook,
-        exp/base_exp.py:243,264-265); JSONL metrics always written."""
+        exp/base_exp.py:243,264-265); JSONL metrics always written.
+        NOTE: wired but UNEXERCISED in this offline environment (no network,
+        wandb not installed) — metrics.jsonl is the tested logging path."""
         project = self.cfg.wandb_project or os.environ.get("WANDB_PROJECT")
         if not project or not multihost.is_primary():
             return None

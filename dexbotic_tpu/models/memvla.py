@@ -321,6 +321,35 @@ def bank_step(params, cfg: MemVLAConfig, state: dict, per_tokens, cog_tokens, ti
     return out["per"], out["cog"], new_state
 
 
+def bank_step_sequential(params, cfg: MemVLAConfig, state1: dict, per_tokens,
+                         cog_tokens, timesteps, resets):
+    """'group'/'stream' dataloader semantics (memvla_arch.py:329-360): the
+    batch rows are CONSECUTIVE FRAMES of one episode sharing a single bank —
+    row i retrieves against memory that already holds rows 0..i-1's
+    consolidated (detached) features.  A lax.scan over rows threads the
+    single-episode bank (state1 = init_mem_state(cfg, 1)); ``resets`` (bool
+    [B]) clears it before a row (episode start, or every batch head in
+    'group' mode, where the reference clears banks each forward).  Returns
+    (fused_per [B,..], fused_cog [B,..], final state1)."""
+    def row(st, inp):
+        p_i, c_i, t_i, r_i = inp
+        st = jax.tree.map(
+            lambda a, b: jnp.where(r_i, a, b),
+            reset_mem_rows(st, jnp.ones((1,), bool)), st,
+        )
+        per_f, cog_f, st = bank_step(
+            params, cfg, st, p_i[None], c_i[None], t_i[None]
+        )
+        st = jax.tree.map(jax.lax.stop_gradient, st)
+        return st, (per_f[0], cog_f[0])
+
+    state1, (per_f, cog_f) = jax.lax.scan(
+        row, state1,
+        (per_tokens, cog_tokens, timesteps.astype(jnp.float32), resets),
+    )
+    return per_f, cog_f, state1
+
+
 def reset_mem_rows(state: dict, reset_mask: jnp.ndarray) -> dict:
     """Zero the bank rows where reset_mask (bool[B]) — episode_first_frame."""
     def reset_role(st):
@@ -348,16 +377,30 @@ def _encode(params, cfg: MemVLAConfig, input_ids, valid, images):
     return per, cog
 
 
-def memvla_loss(params, cfg: MemVLAConfig, batch: dict, state: dict, rng: jax.Array):
+def memvla_loss(params, cfg: MemVLAConfig, batch: dict, state: dict, rng: jax.Array,
+                sequential_bank: bool = False):
     """Diffusion loss with memory-fused cog/per conditioning.  batch must
     carry 'timesteps' (float[B] in-episode frame index) and optionally
-    'episode_reset' (bool[B]); returns (loss, metrics, new_state)."""
+    'episode_reset' (bool[B]); returns (loss, metrics, new_state).
+
+    sequential_bank=True is the 'group'/'stream' dataloader semantics: the
+    batch is consecutive frames of ONE episode sharing a single bank
+    (state = init_mem_state(cfg, 1)); default is parallel_stream (per-row
+    banks)."""
     per, cog = _encode(params, cfg, batch["input_ids"], batch["attention_mask"], batch["images"])
-    if "episode_reset" in batch:
-        state = reset_mem_rows(state, batch["episode_reset"])
-    per_f, cog_f, new_state = bank_step(
-        params, cfg, state, per, cog, batch["timesteps"].astype(jnp.float32)
-    )
+    if sequential_bank:
+        resets = batch.get("episode_reset")
+        if resets is None:
+            resets = jnp.zeros((per.shape[0],), bool)
+        per_f, cog_f, new_state = bank_step_sequential(
+            params, cfg, state, per, cog, batch["timesteps"], resets
+        )
+    else:
+        if "episode_reset" in batch:
+            state = reset_mem_rows(state, batch["episode_reset"])
+        per_f, cog_f, new_state = bank_step(
+            params, cfg, state, per, cog, batch["timesteps"].astype(jnp.float32)
+        )
 
     actions = batch["actions"].reshape(cog.shape[0], -1, cfg.action_dim)
     actions = actions[:, : cfg.chunk_size].astype(jnp.float32)

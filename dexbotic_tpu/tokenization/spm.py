@@ -16,12 +16,15 @@ inference algorithms, so a raw ``.model`` file is all that's needed:
   highest-scoring vocab piece (leftmost on ties); leftover symbols fall back
   to bytes or ``unk_id``.
 
-Normalization implements the NormalizerSpec options that matter for the
-model zoo's tokenizers (identity / NFKC normalization, ``add_dummy_prefix``,
-``remove_extra_whitespaces``, ``escape_whitespaces``); the precompiled
-charsmap is NOT interpreted — for the ``nmt_nfkc`` family NFKC covers the
-common path.  Parity is pinned against the HF ``tokenizers`` Rust
-implementations of both algorithms in tests/test_spm.py.
+Normalization interprets the NormalizerSpec exactly: when the model ships a
+``precompiled_charsmap`` the darts-clone trie is decoded and applied with
+sentencepiece's longest-prefix-match semantics (DartsCharsMap — so the
+``nmt_nfkc`` family normalizes IDENTICALLY to native sentencepiece, not via
+a Python-NFKC approximation); NFKC remains the fallback when the blob is
+absent, plus ``add_dummy_prefix`` / ``remove_extra_whitespaces`` /
+``escape_whitespaces``.  Parity is pinned against the HF ``tokenizers``
+Rust implementations (Unigram/BPE models, Precompiled normalizer) in
+tests/test_spm.py.
 """
 
 from __future__ import annotations
@@ -119,10 +122,13 @@ def _parse_trainer_spec(buf: bytes) -> dict:
 
 def _parse_normalizer_spec(buf: bytes) -> dict:
     out = {"name": "nmt_nfkc", "add_dummy_prefix": True,
-           "remove_extra_whitespaces": True, "escape_whitespaces": True}
+           "remove_extra_whitespaces": True, "escape_whitespaces": True,
+           "precompiled_charsmap": b""}
     for fn, _, v in _fields(buf):
         if fn == 1:
             out["name"] = v.decode("utf-8")
+        elif fn == 2:
+            out["precompiled_charsmap"] = v
         elif fn == 3:
             out["add_dummy_prefix"] = bool(v)
         elif fn == 4:
@@ -130,6 +136,82 @@ def _parse_normalizer_spec(buf: bytes) -> dict:
         elif fn == 5:
             out["escape_whitespaces"] = bool(v)
     return out
+
+
+def _utf8_len(lead: int) -> int:
+    if lead < 0x80:
+        return 1
+    if 0xC0 <= lead < 0xE0:
+        return 2
+    if 0xE0 <= lead < 0xF0:
+        return 3
+    if 0xF0 <= lead < 0xF8:
+        return 4
+    return 1  # invalid lead byte
+
+
+class DartsCharsMap:
+    """NormalizerSpec.precompiled_charsmap interpreter.
+
+    The blob is ``[uint32 trie_size (LE)][darts-clone double-array trie]
+    [NUL-terminated replacement blob]`` (sentencepiece normalizer.cc
+    ``DecodePrecompiledCharsMap``); the trie maps UTF-8 source substrings to
+    byte offsets of their replacements.  Unit layout is darts-clone's
+    ``DoubleArrayUnit``: label = unit & 0x800000FF, has_leaf = bit 8,
+    offset = (unit >> 10) << ((unit & (1 << 9)) >> 6), leaf value =
+    unit & 0x7FFFFFFF.  Normalization is sentencepiece's NormalizePrefix
+    loop: greedy longest trie match at each position, else copy one UTF-8
+    character (invalid bytes become U+FFFD).  Parity vs the HF tokenizers
+    Rust ``Precompiled`` normalizer is pinned in tests/test_spm.py."""
+
+    def __init__(self, blob: bytes):
+        (trie_size,) = struct.unpack("<I", blob[:4])
+        trie = blob[4 : 4 + trie_size]
+        self.units = struct.unpack(f"<{len(trie) // 4}I", trie)
+        self.norm = blob[4 + trie_size :]
+
+    def longest_match(self, data: bytes, start: int):
+        """(replacement bytes | None, consumed length) of the longest trie
+        prefix at data[start:]."""
+        units = self.units
+        n_units = len(units)
+        unit = units[0]
+        node_pos = (unit >> 10) << ((unit & (1 << 9)) >> 6)
+        rep, length = None, 0
+        for i in range(start, len(data)):
+            c = data[i]
+            node_pos ^= c
+            if node_pos >= n_units:
+                break
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != c:
+                break
+            node_pos ^= (unit >> 10) << ((unit & (1 << 9)) >> 6)
+            if (unit >> 8) & 1:
+                value = units[node_pos] & 0x7FFFFFFF
+                end = self.norm.index(0, value)
+                rep, length = self.norm[value:end], i - start + 1
+        return rep, length
+
+    def normalize(self, text: str) -> str:
+        data = text.encode("utf-8")
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            rep, ln = self.longest_match(data, i)
+            if rep is not None:
+                out += rep
+                i += ln
+                continue
+            ln = _utf8_len(data[i])
+            chunk = data[i : i + ln]
+            try:
+                chunk.decode("utf-8")
+            except UnicodeDecodeError:
+                chunk, ln = "�".encode(), 1
+            out += chunk
+            i += ln
+        return out.decode("utf-8", "replace")
 
 
 def _signed(v: int) -> int:
@@ -157,6 +239,10 @@ class SentencePieceModel:
         self.add_dummy_prefix = normalizer["add_dummy_prefix"]
         self.remove_extra_whitespaces = normalizer["remove_extra_whitespaces"]
         self.escape_whitespaces = normalizer["escape_whitespaces"]
+        # exact sentencepiece normalization when the model ships its
+        # precompiled charsmap; NFKC is only the fallback approximation
+        blob = normalizer.get("precompiled_charsmap", b"")
+        self.charsmap = DartsCharsMap(blob) if len(blob) > 4 else None
 
         # surface-matchable vocab: NORMAL + USER_DEFINED pieces only
         # (CONTROL/UNKNOWN/BYTE/UNUSED never match raw text directly)
@@ -223,7 +309,9 @@ class SentencePieceModel:
     # -- normalization -------------------------------------------------------
 
     def normalize(self, text: str) -> str:
-        if "nfkc" in self.normalizer_name:
+        if self.charsmap is not None:
+            text = self.charsmap.normalize(text)
+        elif "nfkc" in self.normalizer_name:
             text = unicodedata.normalize("NFKC", text)
         if self.remove_extra_whitespaces:
             text = " ".join(s for s in text.split(" ") if s)

@@ -156,3 +156,57 @@ def test_memvla_stateful_trainer():
     assert trainer.step == 3
     # bank accumulated three frames per row
     assert int(np.asarray(trainer.aux_state["cog"]["count"])[0]) == 3
+
+
+def test_bank_step_sequential_matches_rowwise():
+    """'group'/'stream' semantics: the lax.scan over rows equals manually
+    feeding the rows one-by-one through bank_step with a shared B=1 bank,
+    including mid-batch resets."""
+    from dexbotic_tpu.models.memvla import bank_step_sequential
+
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    rs = np.random.RandomState(7)
+    B = 4
+    per = jnp.asarray(rs.randn(B, CFG.num_per_tokens, CFG.per_token_size), jnp.float32)
+    cog = jnp.asarray(rs.randn(B, 1, CFG.vlm.llm.hidden_size), jnp.float32)
+    ts = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+    resets = jnp.asarray([True, False, True, False])  # new episode at row 2
+
+    per_f, cog_f, st = bank_step_sequential(p, CFG, init_mem_state(CFG, 1),
+                                            per, cog, ts, resets)
+
+    st2 = init_mem_state(CFG, 1)
+    outs = []
+    for i in range(B):
+        if bool(resets[i]):
+            st2 = reset_mem_rows(st2, jnp.ones((1,), bool))
+        pf, cf, st2 = bank_step(p, CFG, st2, per[i][None], cog[i][None],
+                                ts[i][None])
+        outs.append((pf[0], cf[0]))
+    np.testing.assert_allclose(np.asarray(per_f),
+                               np.stack([o[0] for o in outs]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cog_f),
+                               np.stack([o[1] for o in outs]), atol=1e-5)
+    # two frames of the second episode in the bank, not four
+    assert int(np.asarray(st["cog"]["count"])[0]) == 2
+
+    # within-batch memory is real: row 1 fused != its bank-free fusion
+    pf0, cf0, _ = bank_step(p, CFG, init_mem_state(CFG, 1), per[1][None],
+                            cog[1][None], ts[1][None])
+    assert float(np.abs(np.asarray(cog_f)[1] - np.asarray(cf0[0])).max()) > 1e-6
+
+
+def test_memvla_loss_sequential_bank():
+    p = init_memvla(jax.random.PRNGKey(0), CFG)
+    batch = _batch(B=2)
+    batch["episode_reset"] = jnp.asarray([True, False])
+    loss, metrics, st = memvla_loss(p, CFG, batch, init_mem_state(CFG, 1),
+                                    jax.random.PRNGKey(1), sequential_bank=True)
+    assert np.isfinite(float(loss))
+    assert int(np.asarray(st["per"]["count"])[0]) == 2
+    # gradients flow through the sequential path
+    g = jax.grad(lambda q: memvla_loss(q, CFG, batch, init_mem_state(CFG, 1),
+                                       jax.random.PRNGKey(1),
+                                       sequential_bank=True)[0])(p)
+    gn = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0

@@ -306,3 +306,151 @@ def test_pi0_tokenization_with_spm():
     assert (ids[len(expect):] == 0).all()
     assert out["token_mask"].sum() == len(expect)
     assert np.array_equal(out["labels"], ids)
+
+
+# ---------------------------------------------------------------------------
+# Precompiled charsmap (darts-clone trie) — exact sentencepiece normalization
+# ---------------------------------------------------------------------------
+
+
+def build_darts_charsmap(mapping: dict) -> bytes:
+    """Hand-build a NormalizerSpec.precompiled_charsmap blob: a valid
+    darts-clone double-array over the UTF-8 source keys + the NUL-terminated
+    replacement blob.  Unit layout matches darts-clone's DoubleArrayUnit
+    (label=low byte, has_leaf=bit8, offset=(unit>>10), leaf value at
+    base^0 with bit31 set) — readable by BOTH our DartsCharsMap and the HF
+    tokenizers Rust `Precompiled` normalizer, which makes the Rust
+    implementation a parity oracle for ours."""
+    import collections
+    import struct as _struct
+
+    root: dict = {}
+    norm = bytearray()
+    values: dict = {}
+    for src, dst in sorted(mapping.items()):
+        node = root
+        for b in src.encode():
+            node = node.setdefault(b, {})
+        values[id(node)] = len(norm)
+        norm += dst.encode() + b"\x00"
+
+    units = [0] * 8
+    used = [False] * 8
+    used_bases = set()  # darts requires EXCLUSIVE bases: two nodes sharing a
+    # base would accept each other's transitions (label check can't tell)
+
+    def ensure(n):
+        while len(units) <= n:
+            units.append(0)
+            used.append(False)
+
+    pos_of = {id(root): 0}
+    used[0] = True
+    incoming: dict = {}
+    queue = collections.deque([root])
+    while queue:
+        node = queue.popleft()
+        p = pos_of[id(node)]
+        slots = sorted(node.keys())
+        if id(node) in values:
+            slots = [0] + slots
+        base = 1
+        while True:
+            ensure(base + 256)
+            if base not in used_bases and all(not used[base ^ c] for c in slots):
+                break
+            base += 1
+        used_bases.add(base)
+        for c in slots:
+            q = base ^ c
+            used[q] = True
+            if c == 0:
+                units[q] = 0x80000000 | values[id(node)]
+            else:
+                pos_of[id(node[c])] = q
+                incoming[id(node[c])] = c
+                queue.append(node[c])
+        off = p ^ base
+        assert off < (1 << 21)
+        leaf = 1 if id(node) in values else 0
+        label = incoming.get(id(node), 0)
+        units[p] = (off << 10) | (leaf << 8) | label
+
+    trie = b"".join(_struct.pack("<I", u) for u in units)
+    return _struct.pack("<I", len(trie)) + trie + bytes(norm)
+
+
+# a realistic nmt_nfkc-style slice: compatibility decompositions, whitespace
+# foldings, a deletion — single-grapheme sources only (HF oracle limit)
+CHARSMAP = {
+    "Ａ": "A",        # fullwidth A
+    "ﬁ": "fi",       # ﬁ ligature
+    " ": " ",        # nbsp -> space
+    " ": " ",        # line separator -> space
+    "​": "",         # zero-width space DELETED
+    "Å": "Å",   # identity mapping still goes through the trie
+}
+
+# multi-byte/multi-grapheme overlap family: native sentencepiece does
+# byte-level LONGEST match (normalizer.cc NormalizePrefix); only our
+# reader is asserted on these — HF's Rust `Precompiled` deviates from
+# native sentencepiece by normalizing grapheme-by-grapheme, so
+# multi-grapheme keys never match there
+CHARSMAP_MULTI = dict(CHARSMAP, **{"ab": "Q", "abc": "Z"})
+
+ADVERSARIAL = [
+    "Ａbc​d",            # mapped + longest-match + deletion
+    "abc", "ab", "abd", "aabcc",  # overlap family
+    "ﬁn du monde !",
+    "  x​",
+    "plain ascii stays",
+    "ünïcödé ﬁ ＡＡ",
+    "Ångström",
+    "",
+]
+
+
+def test_charsmap_parity_vs_hf_precompiled():
+    """Our darts reader must normalize EXACTLY like HF tokenizers' Rust
+    `Precompiled` (the sentencepiece-compatibility implementation)."""
+    from tokenizers.normalizers import Precompiled
+
+    from dexbotic_tpu.tokenization.spm import DartsCharsMap
+
+    blob = build_darts_charsmap(CHARSMAP)
+    ours = DartsCharsMap(blob)
+    theirs = Precompiled(blob)
+    for text in ADVERSARIAL:
+        assert ours.normalize(text) == theirs.normalize_str(text), repr(text)
+
+
+def test_charsmap_longest_match_and_deletion():
+    from dexbotic_tpu.tokenization.spm import DartsCharsMap
+
+    cm = DartsCharsMap(build_darts_charsmap(CHARSMAP_MULTI))
+    assert cm.normalize("abc") == "Z"
+    assert cm.normalize("abd") == "Qd"
+    assert cm.normalize("aabcc") == "aZc"
+    assert cm.normalize("x​y") == "xy"
+    assert cm.normalize("Ａﬁ") == "Afi"
+    # invalid utf-8 never reaches str inputs, but lone surrogates do:
+    # handled by the encode/replace path without raising
+    assert isinstance(cm.normalize("ok"), str)
+
+
+def test_model_with_charsmap_normalizes_exactly():
+    """A .model whose NormalizerSpec carries the charsmap must use it (NOT
+    the NFKC approximation): 'ab' folds to 'Q' which NFKC would never do."""
+    norm_spec = (_ld(1, b"nmt_nfkc") + _ld(2, build_darts_charsmap(CHARSMAP_MULTI))
+                 + _vi(3, 1) + _vi(4, 1) + _vi(5, 1))
+    trainer = _vi(3, 1) + _vi(40, 0) + _vi(41, 1) + _vi(42, 2) + _vi(43, -1)
+    pieces = UNI_SPECIALS + [piece(p, s) for p, s in UNI_VOCAB] + [
+        piece("Q", -1.0), piece("▁Q", -1.0), piece("A", -1.5), piece("fi", -1.5),
+    ]
+    data = b"".join(pieces) + _ld(2, trainer) + _ld(3, norm_spec)
+    m = SentencePieceModel.from_bytes(data)
+    assert m.charsmap is not None
+    assert m.normalize("ab") == "▁Q"
+    assert m.normalize("ﬁ") == "▁fi"
+    # and through encode(): ids of the folded pieces
+    assert m.encode("ab") == m.encode("Q")
