@@ -40,6 +40,11 @@ class CogActConfig:
     sampler: str = "ddim"
     sampler_unroll: int = 1  # DDIM scan unroll (see DiTConfig.scan_unroll)
     dit_scan_unroll: int = 1  # DiT block-stack scan unroll
+    # Run the whole sampling loop as ONE Pallas launch (ops/dit_fused.py):
+    # weights streamed per (step, layer) grid cell, int8 dequant in-register.
+    # B=1 latency lever; numerics match the XLA sampler (tested).  Small-B
+    # only (per-head attention is unrolled in-kernel); TPU only.
+    fused_sampler: bool = False
 
     @property
     def dit(self) -> dit_mod.DiTConfig:
@@ -146,6 +151,14 @@ def cogact_inference_action(
         noise = jax.random.normal(rng, (B, cfg.chunk_size, cfg.action_dim), jnp.float32)
     sched = _schedule(cfg)
     head = params["action_head"]
+
+    if cfg.fused_sampler and B * (2 if cfg_scale > 1.0 else 1) <= 4:
+        from dexbotic_tpu.ops.dit_fused import fused_dit_sample
+
+        return fused_dit_sample(
+            head, cfg.dit, cog[:, None, :].astype(jnp.float32), noise, sched,
+            steps=ddim_steps, cfg_scale=cfg_scale, sampler=cfg.sampler,
+        )
 
     def sample(eps_fn, x0):
         if cfg.sampler == "dpm":
