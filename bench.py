@@ -204,7 +204,11 @@ def check_and_report(metric, B, dt, flops_per_chunk):
 # that — batched 7b prefill lands at M>=5k rows on the int8 MXU and B=8
 # measures 21.4 chunks/s vs 17.1 at B=1 (round 4) — so w8a8 defaults to 8.
 # The JSON line carries "batch"; override with BENCH_BATCH.
-DEFAULT_BATCH = "1" if (SCALE == "7b" and QUANT != "w8a8") else "8"
+# BENCH_FUSED (the one-launch Pallas sampler) is the B=1 LATENCY lever —
+# its dispatch only covers small batch, so it defaults the batch to 1.
+DEFAULT_BATCH = "1" if (
+    (SCALE == "7b" and QUANT != "w8a8") or os.environ.get("BENCH_FUSED", "")
+) else "8"
 
 
 def build(scale: str):
@@ -421,8 +425,23 @@ def main():
         cfg = dataclasses.replace(
             cfg, sampler="dpm",
             ddim_steps=int(os.environ.get("BENCH_STEPS", "5")))
+    # BENCH_FUSED=1: whole sampling loop as one Pallas launch
+    # (ops/dit_fused.py — the B=1 latency kernel).  BENCH_FUSED=int8
+    # additionally quantizes ONLY the DiT head to int8, halving the
+    # kernel's weight-stream bytes (dequant in-register; VLM stays bf16).
+    FUSED = os.environ.get("BENCH_FUSED", "")
+    if FUSED:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_sampler=True)
     # init directly in bf16 (a transient fp32 7B tree would not fit HBM)
     params = _build_params(lambda: init_cogact(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+    if FUSED == "int8":
+        from dexbotic_tpu.ops.quant import quantize_params
+
+        params["action_head"] = jax.jit(
+            lambda h: quantize_params(h, pad_cols=False)
+        )(params["action_head"])
 
     nt = cfg.vlm.num_image_tokens
     text_len = 48
@@ -469,6 +488,8 @@ def main():
         + cfg.ddim_steps * cfg_mult * 2.0 * p_dit * t_dit
     )
     stag = f"_dpm{cfg.ddim_steps}" if cfg.sampler == "dpm" else ""
+    if FUSED:
+        stag += "_fused" + ("_hint8" if FUSED == "int8" else "")
     check_and_report(f"cogact_{SCALE}{_qtag()}{stag}_action_chunks_per_sec_chip",
                      B, dt, flops / B)
 

@@ -42,6 +42,9 @@ class CogActModelConfig(base_exp.Config):
     seed: int = 0
     sampler: str = "ddim"  # 'dpm' = DPM-Solver++(2M); pair with ddim_steps=5
     ddim_steps: int = 10
+    # one-launch Pallas sampler (ops/dit_fused.py): the B=1 serving-latency
+    # kernel; exact parity with the XLA sampler (tests/test_dit_fused.py)
+    fused_sampler: bool = False
 
     def build_config(self) -> CogActConfig:
         return CogActConfig(
@@ -55,6 +58,7 @@ class CogActModelConfig(base_exp.Config):
             chunk_size=self.chunk_size,
             sampler=self.sampler,
             ddim_steps=self.ddim_steps,
+            fused_sampler=self.fused_sampler,
         )
 
     def build_params(self, cfg: CogActConfig):
