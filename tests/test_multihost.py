@@ -18,6 +18,12 @@ WORKER = textwrap.dedent("""
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # per-process-id persistent cache: repeat suite runs skip the worker
+    # compiles; disjoint dirs (mh0/mh1) so the pair never writes concurrently
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.environ["MH_REPO"], "tests", ".jax_test_cache",
+        "mh" + os.environ["DEXBOTIC_PROCESS_ID"]))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     from dexbotic_tpu.parallel import multihost
     assert multihost.maybe_initialize()
     import jax.numpy as jnp
@@ -110,6 +116,10 @@ RL_WORKER = textwrap.dedent("""
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.environ["MH_REPO"], "tests", ".jax_test_cache",
+        "mh" + os.environ["DEXBOTIC_PROCESS_ID"]))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     from dexbotic_tpu.parallel import multihost
     assert multihost.maybe_initialize()
     import numpy as np
@@ -176,6 +186,10 @@ SKEW_WORKER = textwrap.dedent("""
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.environ["MH_REPO"], "tests", ".jax_test_cache",
+        "mh" + os.environ["DEXBOTIC_PROCESS_ID"]))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     from dexbotic_tpu.parallel import multihost
     assert multihost.maybe_initialize()
     import jax.numpy as jnp
