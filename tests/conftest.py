@@ -25,7 +25,31 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
+import pytest  # noqa: E402
+
+
 def pytest_configure(config):
     # `-m "not heavy"` = fast iteration profile (~1/3 the wall time);
     # default runs everything.  Heavy = multi-step trainer/e2e compiles.
     config.addinivalue_line("markers", "heavy: multi-minute compile-heavy e2e test")
+
+
+# The sharded GRPO update executable trips a NONDETERMINISTIC segfault inside
+# XLA:CPU executable (de)serialization when the persistent cache is touched
+# deep into a full-suite process: observed once in put_executable_and_time and
+# once in get_executable_and_time, always at the rl_trainer _step compile ~200
+# tests in, while standalone runs of the same tests read AND write the same
+# entry fine.  Compile these modules' programs fresh instead of caching them —
+# the flag flip is per-test and costs only those modules' compiles.
+_NO_PERSISTENT_CACHE_MODULES = {"test_rl", "test_exps_smoke"}
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache_for_rl(request):
+    mod = getattr(request, "module", None)
+    if mod is not None and mod.__name__.split(".")[-1] in _NO_PERSISTENT_CACHE_MODULES:
+        jax.config.update("jax_enable_compilation_cache", False)
+        yield
+        jax.config.update("jax_enable_compilation_cache", True)
+    else:
+        yield
