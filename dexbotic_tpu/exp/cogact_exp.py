@@ -43,8 +43,9 @@ class CogActModelConfig(base_exp.Config):
     sampler: str = "ddim"  # 'dpm' = DPM-Solver++(2M); pair with ddim_steps=5
     ddim_steps: int = 10
     # one-launch Pallas sampler (ops/dit_fused.py): the B=1 serving-latency
-    # kernel; exact parity with the XLA sampler (tests/test_dit_fused.py)
-    fused_sampler: bool = False
+    # kernel; exact parity with the XLA sampler (tests/test_dit_fused.py).
+    # Default ON — dispatch self-guards (TPU backend, rows<=4, no mem xattn).
+    fused_sampler: bool = True
 
     def build_config(self) -> CogActConfig:
         return CogActConfig(

@@ -42,9 +42,11 @@ class CogActConfig:
     dit_scan_unroll: int = 1  # DiT block-stack scan unroll
     # Run the whole sampling loop as ONE Pallas launch (ops/dit_fused.py):
     # weights streamed per (step, layer) grid cell, int8 dequant in-register.
-    # B=1 latency lever; numerics match the XLA sampler (tested).  Small-B
-    # only (per-head attention is unrolled in-kernel); TPU only.
-    fused_sampler: bool = False
+    # B=1 latency lever; numerics match the XLA sampler (tested).  Default ON:
+    # dispatch only engages on TPU backends for small batch (rows<=4) and
+    # falls back to the XLA sampler everywhere else (CPU tests, big B,
+    # MemVLA mem_cross_attn).
+    fused_sampler: bool = True
 
     @property
     def dit(self) -> dit_mod.DiTConfig:
@@ -152,7 +154,11 @@ def cogact_inference_action(
     sched = _schedule(cfg)
     head = params["action_head"]
 
-    if cfg.fused_sampler and B * (2 if cfg_scale > 1.0 else 1) <= 4:
+    if (
+        cfg.fused_sampler
+        and B * (2 if cfg_scale > 1.0 else 1) <= 4
+        and jax.default_backend() == "tpu"
+    ):
         from dexbotic_tpu.ops.dit_fused import fused_dit_sample
 
         return fused_dit_sample(

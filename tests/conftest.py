@@ -48,8 +48,11 @@ _NO_PERSISTENT_CACHE_MODULES = {"test_rl", "test_exps_smoke"}
 def _no_persistent_cache_for_rl(request):
     mod = getattr(request, "module", None)
     if mod is not None and mod.__name__.split(".")[-1] in _NO_PERSISTENT_CACHE_MODULES:
+        prev = jax.config.jax_enable_compilation_cache
         jax.config.update("jax_enable_compilation_cache", False)
-        yield
-        jax.config.update("jax_enable_compilation_cache", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev)
     else:
         yield

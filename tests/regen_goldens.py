@@ -106,6 +106,8 @@ def main():
                 print(f"{k}: REMOVED (kept? no — not recomputed)")
             elif k not in old.files:
                 print(f"{k}: NEW")
+            elif old[k].shape != new[k].shape:
+                print(f"{k}: SHAPE CHANGED {old[k].shape} -> {new[k].shape}")
             else:
                 d = float(np.max(np.abs(old[k] - new[k])))
                 print(f"{k}: max|old-new| = {d:.3e}" + ("  <-- CHANGED" if d > 1e-6 else ""))

@@ -384,3 +384,113 @@ def test_rl_epoch_schedule_drives_training():
     params, history = exp.train_rl()
     assert len(history) == 2
     assert all(np.isfinite(h["loss"]) for h in history)
+
+
+# ---------------------------------------------------------------------------
+# Parity vs the reference's OWN torch GRPO functions (VERDICT r4 #7).
+# compute_grpo_outcome_advantage + PPO-clip loss from
+# /root/reference/dexbotic/exp/rl/rl_base.py:35-199 run on shared tensors as
+# the oracle — including size-1 groups (mean 0 / std 1 quirk, :66-74) and
+# torch.std's Bessel correction.
+# ---------------------------------------------------------------------------
+
+
+def _ref_rl_base():
+    """Import the reference's rl_base.py with its base-class import satisfied
+    by a stub (`class Config: pass` — base_exp.py:60-61 verbatim; the real
+    base_exp module needs flask/megfile, absent from this image).  dexbotic
+    is a namespace package, so pre-seeding sys.modules['dexbotic.exp.base_exp']
+    short-circuits only that module; dexbotic.model.* imports used by the
+    other parity suites are unaffected."""
+    import sys
+    import types
+
+    import pytest
+
+    pytest.importorskip("torch")
+    if "dexbotic.exp.rl.rl_base" in sys.modules:
+        return sys.modules["dexbotic.exp.rl.rl_base"]
+    if "dexbotic.exp.base_exp" not in sys.modules:
+        be = types.ModuleType("dexbotic.exp.base_exp")
+
+        class Config:  # reference base_exp.py:60-61
+            pass
+
+        be.Config = Config
+        sys.modules["dexbotic.exp.base_exp"] = be
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import dexbotic.exp.rl.rl_base as rb
+
+    return rb
+
+
+def test_grpo_advantage_matches_reference_torch():
+    import torch
+
+    rb = _ref_rl_base()
+    ref_cfg = rb.GRPOConfig()
+
+    rs = np.random.RandomState(0)
+    B, T, G = 9, 6, 4
+    index = np.array([0, 0, 0, 1, 1, 2, 2, 2, 3])  # group 3 has size 1
+    lens = rs.randint(1, T + 1, B)
+    eos = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    rewards = np.zeros((B, T), np.float32)
+    rewards[np.arange(B), lens - 1] = 5.0 * rs.randint(0, 2, B) + rs.randn(B) * 0.1
+
+    ref_adv, ref_ret = ref_cfg.compute_grpo_outcome_advantage(
+        torch.from_numpy(rewards.copy()), torch.from_numpy(eos), index
+    )
+    adv, ret = grpo_outcome_advantage(
+        jnp.asarray(rewards), jnp.asarray(eos), jnp.asarray(index), G,
+        epsilon=ref_cfg.epsilon,
+    )
+    np.testing.assert_allclose(np.asarray(adv), ref_adv.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), ref_ret.numpy(), atol=1e-5)
+
+
+def test_grpo_advantage_all_single_groups_matches_reference():
+    import torch
+
+    rb = _ref_rl_base()
+    ref_cfg = rb.GRPOConfig()
+    rewards = np.zeros((3, 4), np.float32)
+    rewards[:, -1] = [5.0, 0.0, 2.5]
+    eos = np.ones((3, 4), np.float32)
+    index = np.array([0, 1, 2])
+    ref_adv, _ = ref_cfg.compute_grpo_outcome_advantage(
+        torch.from_numpy(rewards.copy()), torch.from_numpy(eos), index
+    )
+    adv, _ = grpo_outcome_advantage(
+        jnp.asarray(rewards), jnp.asarray(eos), jnp.asarray(index), 3,
+        epsilon=ref_cfg.epsilon,
+    )
+    np.testing.assert_allclose(np.asarray(adv), ref_adv.numpy(), atol=1e-5)
+
+
+def test_ppo_clip_loss_matches_reference_torch():
+    import torch
+
+    rb = _ref_rl_base()
+    trainer = rb.GRPOTrainer(rb.GRPOConfig(), rb.RLEnvironmentConfig())
+
+    rs = np.random.RandomState(1)
+    B, T = 5, 7
+    old = np.log(rs.uniform(0.05, 0.95, (B, T))).astype(np.float32)
+    new = (old + rs.randn(B, T) * 0.5).astype(np.float32)  # ratios straddle clips
+    adv = rs.randn(B, T).astype(np.float32)
+    lens = rs.randint(1, T + 1, B)
+    eos = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+
+    ref_loss, ref_frac, ref_kl = trainer.compute_policy_loss(
+        torch.from_numpy(old), torch.from_numpy(new), torch.from_numpy(adv),
+        torch.from_numpy(eos), clip_ratio_high=0.28, clip_ratio_low=0.2,
+    )
+    loss, frac, kl = ppo_clip_loss(
+        jnp.asarray(old), jnp.asarray(new), jnp.asarray(adv), jnp.asarray(eos),
+        0.2, 0.28,
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    np.testing.assert_allclose(float(frac), float(ref_frac), atol=1e-6)
+    np.testing.assert_allclose(float(kl), float(ref_kl), atol=1e-6)
