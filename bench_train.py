@@ -50,7 +50,10 @@ BASELINE_ASSUMED_TRAIN_MFU = 0.40
 BASELINE_KIND = ("a100-bf16-peak-x40pct-train-mfu-flop-bound "
                  "(derived; favors baseline)")
 
-ROWS = ("cogact_05b_full", "cogact_1b_freeze", "pi0_1b_full",
+# pi0-1b FULL AdamW is the 8-chip fsdp regime (measured: 19.4 G HBM at
+# B=2 vs 15.75 G on one v5e) — the single-chip row freezes the VLM stream
+# (expert + projector + action/state/time projections train)
+ROWS = ("cogact_05b_full", "cogact_1b_freeze", "pi0_1b_freeze",
         "oft_l1_1b_freeze", "memvla_1b_freeze", "navila_pack4k_freeze")
 
 
@@ -126,6 +129,18 @@ def _optimizer(params, freeze: str):
     )
 
 
+def _sg(p, freeze):
+    """Cut the frozen tower's backward graph (see optim.stopgrad_subtrees
+    docstring: the optimizer mask alone cannot free its stashed
+    activations — the packed-NaVILA frozen step OOMed at 26.7 G without
+    this)."""
+    if not freeze:
+        return p
+    from dexbotic_tpu.exp.optim import stopgrad_subtrees
+
+    return stopgrad_subtrees(p, ("vit", "mm_vision", "obs_vit"))
+
+
 def _time_steps(step, params, opt_state, iters):
     import jax
 
@@ -176,7 +191,7 @@ def row_cogact(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _ = cogact_loss(p, cfg, batch, k_d, remat=True)
+            loss, _ = cogact_loss(_sg(p, freeze), cfg, batch, k_d, remat=True)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -239,7 +254,7 @@ def row_pi0(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _ = flow_vla_loss(p, cfg, batch, k_d, remat=True)
+            loss, _ = flow_vla_loss(_sg(p, freeze), cfg, batch, k_d, remat=True)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -259,11 +274,19 @@ def row_pi0(scale: str, freeze: str, B: int, iters: int):
     p_llm = _llm_nonembed(params["vlm"]["llm"])
     p_exp = _n_params(params["expert"])
     d_exp = cfg.expert.num_heads * cfg.expert.head_dim
+    p_proj = _n_params(params["vlm"]["projector"])
     # joint MoT attention: undercount with the (smaller) expert head width
-    f_fwd = (2.0 * p_vit * 3 * n_img_tok + 2.0 * p_llm * s_pre
-             + 2.0 * p_exp * t_suf
+    f_vit = 2.0 * p_vit * 3 * n_img_tok
+    f_llm = (2.0 * p_llm * s_pre
              + _attn_flops(T, T, d_exp, cfg.expert.num_layers))
-    flops = 3 * f_fwd if not freeze else 2 * f_fwd
+    f_proj = 2.0 * p_proj * 3 * n_img_tok
+    f_exp = 2.0 * p_exp * t_suf
+    if freeze:
+        # frozen tower fwd-only; frozen LLM stream still carries dL/dx back
+        # to the trainable projector; expert + projector fully trained
+        flops = 1 * f_vit + 2 * f_llm + 3 * f_proj + 3 * f_exp
+    else:
+        flops = 3 * (f_vit + f_llm + f_proj + f_exp)
     tag = f"pi0_{scale}" + (f"_{freeze}_frozen" if freeze else "_full")
     return report(f"{tag}_train_samples_per_sec_chip", B, dt, flops,
                   {"params_m": round(_n_params(params) / 1e6, 1)})
@@ -303,7 +326,7 @@ def row_oft(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _ = oft_loss(p, cfg, batch, k_d, remat=True)
+            loss, _ = oft_loss(_sg(p, freeze), cfg, batch, k_d, remat=True)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -372,7 +395,7 @@ def row_memvla(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _, _ = memvla_loss(p, cfg, batch, state0, k_d)
+            loss, _, _ = memvla_loss(_sg(p, freeze), cfg, batch, state0, k_d)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -454,7 +477,7 @@ def row_navila(scale: str, freeze: str, B_rows: int, iters: int,
         )
 
         def lf(p):
-            loss, _ = navila_packed_loss(p, cfg, batch, remat=True)
+            loss, _ = navila_packed_loss(_sg(p, freeze), cfg, batch, remat=True)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -487,12 +510,14 @@ def run_row(row: str):
         return row_cogact("05b", "", int(B or 8), iters)
     if row == "cogact_1b_freeze":
         return row_cogact("1b", "llm", int(B or 8), iters)
+    if row == "pi0_1b_freeze":
+        return row_pi0("1b", "llm", int(B or 4), iters)
     if row == "pi0_1b_full":
-        return row_pi0("1b", "", int(B or 4), iters)
+        return row_pi0("1b", "", int(B or 2), iters)
     if row == "oft_l1_1b_freeze":
-        return row_oft("1b", "llm", int(B or 8), iters)
+        return row_oft("1b", "llm", int(B or 4), iters)
     if row == "memvla_1b_freeze":
-        return row_memvla("1b", "llm", int(B or 8), iters)
+        return row_memvla("1b", "llm", int(B or 4), iters)
     if row == "navila_pack4k_freeze":
         return row_navila("05b", "llm", int(B or 2), iters)
     # free-form: model_scale_freezespec, e.g. BENCH_TRAIN_MODEL=cogact_test_full
@@ -525,7 +550,14 @@ def main_suite():
                 except (json.JSONDecodeError, ValueError):
                     continue
             if rec is None:
-                err = (p.stderr.strip().splitlines() or ["<no stderr>"])[-1]
+                lines = p.stderr.strip().splitlines() or ["<no stderr>"]
+                # prefer the actual failure line over jax's traceback-
+                # filtering notice (which is often last)
+                informative = [ln for ln in lines if any(
+                    s in ln for s in ("Error", "EXHAUSTED", "Exception",
+                                      "error:", "Aborted"))
+                    and "internal frames" not in ln]
+                err = (informative or lines)[-1]
                 rec = {"metric": row, "error": err[-300:], "rc": p.returncode}
             records.append(rec)
             print(json.dumps(rec), flush=True)

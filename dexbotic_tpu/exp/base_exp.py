@@ -82,7 +82,24 @@ class TokenizerConfig(Config):
             if tok.pad_token_id is None:
                 tok.pad_token = tok.eos_token
             return tok
-        return SimpleTokenizer(model_max_length=self.model_max_length)
+        tok = SimpleTokenizer(model_max_length=self.model_max_length)
+        # llama_3-style templates are built from <|...|> marker strings; real
+        # HF tokenizers carry those as single special tokens, and the serving
+        # stop logic (navila_exp.py KeywordsStoppingCriteria parity) relies on
+        # the stop string being ONE id — register the template's markers
+        import re as _re
+
+        from dexbotic_tpu.tokenization import conversation as conversation_lib
+
+        conv = conversation_lib.conv_templates.get(self.chat_template)
+        if conv is not None:
+            marks: set = set()
+            for s in (conv.system, conv.sep, getattr(conv, "sep2", None) or "",
+                      *conv.roles):
+                marks.update(_re.findall(r"<\|[^|>]+\|>", s or ""))
+            if marks:
+                tok.add_special_tokens(sorted(marks))
+        return tok
 
     def add_special_tokens(self, tokenizer, tokens: list[str]) -> int:
         if hasattr(tokenizer, "add_special_tokens") and not isinstance(

@@ -36,6 +36,19 @@ NAV_PROMPT = (
 )
 
 
+def nav_question(instruction: str, n_frames: int) -> str:
+    """The reference's serving-side navigation question, byte-exact
+    (exp/navila_exp.py:327-336): one '<image>\\n' tag per history frame plus
+    the current observation tag."""
+    interleaved = "<image>\n" * (n_frames - 1)
+    return (
+        "Imagine you are a robot programmed for navigation tasks. You have been given a video "
+        f'of historical observations {interleaved}, and current observation <image>\n. Your assigned task is: "{instruction}" '
+        "Analyze this series of images to decide your next action, which could be turning left or right by a specific "
+        "degree, moving forward a certain distance, or stop if the task is completed."
+    )
+
+
 @dataclass
 class NaVILAModelConfig(base_exp.Config):
     model_name_or_path: Optional[str] = None
@@ -239,8 +252,9 @@ class NaVILAExp(base_exp.BaseExp):
     def pack_max_len_resolved(self) -> int:
         return self.model.pack_max_len or self.tokenizer.model_max_length
 
-    def make_generate_fn(self, cfg, params, max_new_tokens: int = 48):
-        eos = 0
+    def make_generate_fn(self, cfg, params, max_new_tokens: int = 48,
+                         eos_token_id: int = 0):
+        eos = eos_token_id
 
         @jax.jit
         def _gen(params, ids, valid, images, rng):
@@ -259,13 +273,27 @@ class NaVILAInferenceSession:
     navigation sessions (one per robot) then coalesces its AR decode steps
     into shared slot ticks instead of serializing whole generate() calls."""
 
-    def __init__(self, exp: NaVILAExp, cfg, params, tokenizer, engine=None):
+    def __init__(self, exp: NaVILAExp, cfg, params, tokenizer, engine=None,
+                 max_new_tokens: int = 32):
         self.exp = exp
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.buffer = FrameHistoryBuffer(cfg.num_video_frames)
         self.engine = engine
-        self.gen = None if engine is not None else exp.make_generate_fn(cfg, params)
+        # the reference stops generation at the template stop string
+        # (KeywordsStoppingCriteria, exp/navila_exp.py:352-357); when the
+        # stop string is a single token we stop there natively
+        from dexbotic_tpu.tokenization import conversation as conversation_lib
+
+        conv = conversation_lib.conv_templates[exp.tokenizer.chat_template]
+        stop_str = getattr(conv, "sep2", None) or conv.sep
+        stop_ids = tokenizer.encode(stop_str, add_bos=False) if stop_str else []
+        self.eos_token_id = stop_ids[0] if len(stop_ids) == 1 else 0
+        self.max_new_tokens = max_new_tokens  # reference default
+        # (exp/navila_exp.py:307 _get_response max_new_tokens=32)
+        self.gen = None if engine is not None else exp.make_generate_fn(
+            cfg, params, max_new_tokens=max_new_tokens,
+            eos_token_id=self.eos_token_id)
 
     @staticmethod
     def make_shared_engine(cfg, params, slots: int = 8, max_new_tokens: int = 48,
@@ -284,6 +312,11 @@ class NaVILAInferenceSession:
     def reset(self):
         self.buffer.reset()
 
+    def observe(self, frame: np.ndarray):
+        """Append a frame WITHOUT running the model (the reference's
+        run_model=False request mode, exp/navila_exp.py:260-271)."""
+        self.buffer.frames.append(frame)
+
     def act(self, frame: np.ndarray, instruction: str, rng) -> str:
         from dexbotic_tpu.data.image_processing import preprocess_image
         from dexbotic_tpu.tokenization.tokenize import tokenizer_image_token
@@ -291,21 +324,44 @@ class NaVILAInferenceSession:
         frames = self.buffer.add(frame)
         proc = self.exp.data.build_image_processor()
         imgs = np.stack([preprocess_image(f, proc) for f in frames])
-        prompt = NAV_PROMPT.format(prompt=instruction)
-        # one <image> tag covers the frame history: expand to frames*tokens
+        # reference serving prompt (exp/navila_exp.py:327-345): per-frame
+        # '<image>\n' tags inside the nav question, wrapped in the chat
+        # template with an EMPTY assistant slot; each tag expands to
+        # tokens-per-frame placeholders (static shapes)
+        from dexbotic_tpu.tokenization import conversation as conversation_lib
+
+        conv = conversation_lib.conv_templates[self.exp.tokenizer.chat_template].copy()
+        conv.append_message(conv.roles[0], nav_question(instruction, len(frames)))
+        conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(
-            prompt, self.tokenizer,
-            num_image_tokens=self.cfg.vlm.num_image_tokens * len(frames),
+            conv.get_prompt(), self.tokenizer,
+            num_image_tokens=self.cfg.vlm.num_image_tokens,
         )
         if self.engine is not None:
-            toks = self.engine.submit(np.asarray(ids, np.int32), images=imgs)
-            if 0 in toks:  # eos
-                toks = toks[: toks.index(0)]
-            return self.tokenizer.decode(toks)
+            toks = self.engine.submit(np.asarray(ids, np.int32), images=imgs,
+                                      max_new=self.max_new_tokens)
+            for stop in (self.eos_token_id, 0):
+                if stop in toks:
+                    toks = toks[: toks.index(stop)]
+            return self._postprocess(self.tokenizer.decode(toks))
         ids = jnp.asarray(ids, jnp.int32)[None]
         valid = jnp.ones(ids.shape, jnp.int32)
         tokens = self.gen(ids, valid, jnp.asarray(imgs)[None], rng)
-        return self.tokenizer.decode([int(t) for t in np.asarray(tokens)[0]])
+        return self._postprocess(
+            self.tokenizer.decode([int(t) for t in np.asarray(tokens)[0]]))
+
+    def _postprocess(self, text: str) -> str:
+        """Reference decode postprocess (exp/navila_exp.py:370-376): strip,
+        drop a trailing stop string, strip again."""
+        from dexbotic_tpu.tokenization import conversation as conversation_lib
+
+        conv = conversation_lib.conv_templates[self.exp.tokenizer.chat_template]
+        stop_str = getattr(conv, "sep2", None) or conv.sep
+        text = text.split("\x00")[0] if "\x00" in text else text
+        text = text.strip()
+        if stop_str and text.endswith(stop_str):
+            text = text[: -len(stop_str)]
+        return text.strip()
 
 
 if __name__ == "__main__":

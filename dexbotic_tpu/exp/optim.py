@@ -115,3 +115,21 @@ def build_optimizer(cfg: OptimizerConfig, params, total_steps: int):
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     return tx
+
+
+def stopgrad_subtrees(params, names: tuple):
+    """stop_gradient every leaf whose path contains one of `names`.
+
+    A frozen vision tower sits BELOW everything trainable (projector/LLM
+    consume its output), so masking its optimizer update (set_to_zero) still
+    leaves XLA stashing its full backward activations — at a 27-layer SigLIP
+    over video frames that is GBs of fp32 attention probabilities (measured:
+    the packed-NaVILA frozen step OOMed at 26.7 G).  stop_gradient removes
+    the tower's backward graph entirely; only its forward output (which the
+    trainable projector needs) survives."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: jax.lax.stop_gradient(x)
+        if any(getattr(k, "key", getattr(k, "name", None)) in names for k in p)
+        else x,
+        params,
+    )

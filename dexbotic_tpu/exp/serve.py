@@ -700,7 +700,9 @@ class MUVLAServer(ActionServer):
         super().__init__(host, port)
         self.exp, self.cfg, self.tokenizer = exp, cfg, tokenizer
         self.max_new_tokens = max_new_tokens
-        self.gen = exp.make_generate_fn(cfg, params, max_new_tokens=max_new_tokens)
+        self.gen = exp.make_generate_fn(
+            cfg, params, max_new_tokens=max_new_tokens,
+            eos_token_id=getattr(tokenizer, "eos_token_id", 0) or 0)
         self.rng = jax.random.PRNGKey(0)
         self._rng_lock = threading.Lock()
         self.engine = None
@@ -736,17 +738,30 @@ class MUVLAServer(ActionServer):
         map_img = jnp.asarray(preprocess_images_batch(map_f, proc, channel_order=map_o))
         obs = jnp.asarray(preprocess_images_batch(obs_f, proc, channel_order=obs_o))[None]
         nt = self.cfg.num_fused_tokens(obs.shape[1])
+        # reference prompt construction (exp/muvla_exp.py:211-215): the
+        # conversation template wraps DEFAULT_IMAGE_TOKEN + text (no '\n'),
+        # assistant slot left empty (AR policy)
+        conv = conversation_lib.conv_templates[self.exp.tokenizer.chat_template].copy()
+        conv.append_message(conv.roles[0], "<image>" + prompt)
+        conv.append_message(conv.roles[1], None)
         ids = tokenizer_image_token(
-            f"<image>\n{prompt}", self.tokenizer, num_image_tokens=nt
+            conv.get_prompt(), self.tokenizer, num_image_tokens=nt
         )
         input_ids = jnp.asarray(ids, jnp.int32)[None]
         return input_ids, map_img, obs
 
     def _decode_tokens(self, toks: list) -> dict:
+        # reference postprocess (muvla_exp.py:232-234): decode, strip the
+        # sep2 stop string, strip whitespace
         eos = getattr(self.tokenizer, "eos_token_id", 0) or 0
         if eos in toks:
             toks = toks[: toks.index(eos)]
-        return {"text": self.tokenizer.decode(toks)}
+        text = self.tokenizer.decode(toks)
+        conv = conversation_lib.conv_templates[self.exp.tokenizer.chat_template]
+        sep2 = getattr(conv, "sep2", None)
+        if sep2:
+            text = text.replace(sep2, "")
+        return {"text": text.strip()}
 
     def get_response(self, fields, files):
         input_ids, map_img, obs = self._prepare(fields, files)
@@ -822,7 +837,6 @@ class DiscreteVLAServer(ActionServer):
             action = parse_action_text(text, self.cfg.action_dim, self.cfg.vocab_bins)
             if action is None:  # rare: sampled retries through the fused path
                 action = self._fused_decode(ids, imgs)
-                text = ""
         else:
             action = self._fused_decode(ids, imgs)
             text = ""
@@ -1007,3 +1021,54 @@ class FlowVLAServer(ActionServer):
                 out = np.asarray(pipe(data)["action"])
             out = out[:, : getattr(icfg, "action_dim_out", out.shape[-1])]
         return out.tolist()
+
+
+class NaVILAServer(ActionServer):
+    """Navigation serving (reference exp/navila_exp.py:282-306 process_frame):
+    one camera frame per request plus fields 'text', 'episode_first_frame'
+    (resets the 8-frame history) and 'run_model' ('False' = only append the
+    frame to the history, return []); responds with the parsed env action-int
+    queue (0 stop / 1 forward / 2 left / 3 right, repeated per magnitude).
+    Requests are serialized by the base lock — the history buffer is
+    cross-request state."""
+
+    def __init__(self, exp, cfg, params, tokenizer, host="0.0.0.0", port=7891,
+                 max_new_tokens: int = 32, engine=None):
+        super().__init__(host, port)
+        from dexbotic_tpu.exp.navila_exp import NaVILAInferenceSession
+
+        self.exp, self.cfg, self.tokenizer = exp, cfg, tokenizer
+        self.session = NaVILAInferenceSession(
+            exp, cfg, params, tokenizer, engine=engine,
+            max_new_tokens=max_new_tokens)
+        self.rng = jax.random.PRNGKey(0)
+
+    @staticmethod
+    def _parse_bool(value, default=False) -> bool:
+        if value is None:
+            return default
+        return str(value).strip().lower() in ("1", "true", "t", "yes", "y", "on")
+
+    def get_response(self, fields, files):
+        from dexbotic_tpu.models.navila import parse_nav_action
+
+        if self._parse_bool(fields.get("episode_first_frame")):
+            self.session.reset()
+        run_model = self._parse_bool(fields.get("run_model"), default=True)
+        payloads = [p for _, p in files]
+        frame = None
+        if payloads:
+            frames, order = _decode_frames(payloads[:1])
+            # the reference navila server CHANNEL-FLIPS the decoded RGB frame
+            # before process_images (navila_exp.py:314-317: Image.fromarray(
+            # np.array(...)[..., ::-1])) — the policy consumes BGR; mirror it
+            frame = frames[0] if order == "bgr" else frames[0][..., ::-1]
+        if not run_model:
+            if frame is not None:
+                self.session.observe(frame)
+            return []
+        if frame is None:
+            return []
+        self.rng, r = jax.random.split(self.rng)
+        text = self.session.act(frame, fields.get("text", ""), r)
+        return parse_nav_action(text)

@@ -81,6 +81,21 @@ class Trainer:
             data=trainer_config.mesh_data, model=trainer_config.mesh_model
         )
 
+        if optimizer_config.freeze_mm_vision:
+            # frozen tower: cut its backward graph, not just its update —
+            # see optim.stopgrad_subtrees (memory: GBs of stashed fp32 ViT
+            # activations otherwise; the optimizer mask alone cannot free
+            # them)
+            from dexbotic_tpu.exp.optim import stopgrad_subtrees
+
+            inner_loss = self.loss_fn
+
+            def loss_fn_sg(params, *rest):
+                return inner_loss(
+                    stopgrad_subtrees(params, ("vit", "mm_vision")), *rest)
+
+            self.loss_fn = loss_fn_sg
+
         if trainer_config.bf16:
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)

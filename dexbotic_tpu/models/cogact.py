@@ -17,6 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from dexbotic_tpu.constants import IGNORE_INDEX
 from dexbotic_tpu.models import dit as dit_mod
 from dexbotic_tpu.models.losses import causal_lm_loss
 from dexbotic_tpu.models.vlm import VLMConfig, gather_last_hidden, init_vlm, vlm_forward
@@ -111,22 +112,38 @@ def cogact_loss(
             drop_rng=None if diffusion_noise is not None else k_drop,
         )
 
-    action_loss = sched.training_loss(
-        eps_fn, actions_rep, k_diff, t=diffusion_t, noise=diffusion_noise
-    )
+    has_action = batch.get("has_action") if with_text_loss else None
+    if has_action is not None:
+        # reference hybrid gating (hybrid_cogact_arch.py:164-181): per-sample
+        # MSE, weighted-mean over has_action rows with a +1e-6 denominator
+        per_sample = sched.training_loss(
+            eps_fn, actions_rep, k_diff, t=diffusion_t, noise=diffusion_noise,
+            reduction="none",
+        )
+        ha = jnp.tile(has_action.reshape(-1).astype(jnp.float32), rep)
+        action_loss = jnp.sum(per_sample * ha) / (jnp.sum(ha) + 1e-6)
+    else:
+        action_loss = sched.training_loss(
+            eps_fn, actions_rep, k_diff, t=diffusion_t, noise=diffusion_noise
+        )
     metrics = {"action_loss": action_loss}
     loss = action_loss
 
     if with_text_loss:
         logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hidden)
         has_text = batch.get("has_text")
-        text_loss = causal_lm_loss(logits, batch["labels"])
+        labels = batch["labels"]
         if has_text is not None:
-            text_loss = text_loss * jnp.mean(has_text.astype(jnp.float32))
+            # reference (hybrid_cogact_arch.py:131-142): rows without text
+            # get IGNORE_INDEX labels; the CE (mean over surviving tokens)
+            # is then zeroed when NO row has text
+            ht = has_text.reshape(-1).astype(bool)
+            labels = jnp.where(ht[:, None], labels, IGNORE_INDEX)
+            text_loss = causal_lm_loss(logits, labels) * jnp.any(ht).astype(
+                jnp.float32)
+        else:
+            text_loss = causal_lm_loss(logits, labels)
         metrics["text_loss"] = text_loss
-        has_action = batch.get("has_action")
-        if has_action is not None:
-            loss = loss * jnp.mean(has_action.astype(jnp.float32))
         loss = loss + text_loss
     metrics["loss"] = loss
     return loss, metrics

@@ -378,7 +378,9 @@ def _encode(params, cfg: MemVLAConfig, input_ids, valid, images):
 
 
 def memvla_loss(params, cfg: MemVLAConfig, batch: dict, state: dict, rng: jax.Array,
-                sequential_bank: bool = False):
+                sequential_bank: bool = False,
+                diffusion_t: Optional[jnp.ndarray] = None,  # [B*rep] (parity)
+                diffusion_noise: Optional[jnp.ndarray] = None):
     """Diffusion loss with memory-fused cog/per conditioning.  batch must
     carry 'timesteps' (float[B] in-episode frame index) and optionally
     'episode_reset' (bool[B]); returns (loss, metrics, new_state).
@@ -416,10 +418,12 @@ def memvla_loss(params, cfg: MemVLAConfig, batch: dict, state: dict, rng: jax.Ar
     def eps_fn(x_t, t):
         return dit_mod.dit_forward(
             params["action_head"], cfg.dit, x_t, t, cog_rep,
-            mem=per_rep, drop_rng=k_drop,
+            mem=per_rep,
+            drop_rng=None if diffusion_noise is not None else k_drop,
         )
 
-    loss = sched.training_loss(eps_fn, actions_rep, k_diff)
+    loss = sched.training_loss(eps_fn, actions_rep, k_diff,
+                               t=diffusion_t, noise=diffusion_noise)
     return loss, {"action_loss": loss, "loss": loss}, new_state
 
 

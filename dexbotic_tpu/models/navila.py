@@ -274,11 +274,15 @@ def _navila_hidden(params, cfg, batch, remat):
 
 
 class FrameHistoryBuffer:
-    """Serving-side rolling frame history with uniform temporal sampling
-    (exp/navila_exp.py:243-257 behavior)."""
+    """Serving-side rolling frame history, reference-exact
+    (exp/navila_exp.py:242-257 sample_and_pad_images): short histories are
+    padded with BLACK frames at the FRONT, then `num_frames - 1` history
+    slots are sampled with ``linspace(0, n-1, endpoint=False)`` and the
+    LATEST frame is always appended last."""
 
-    def __init__(self, num_frames: int = 8):
+    def __init__(self, num_frames: int = 8, pad_frame=None):
         self.num_frames = num_frames
+        self.pad_frame = pad_frame  # None -> zeros like the first frame
         self.frames: list = []
 
     def reset(self):
@@ -289,11 +293,58 @@ class FrameHistoryBuffer:
         return self.sample()
 
     def sample(self) -> list:
-        n = len(self.frames)
-        if n <= self.num_frames:
-            out = list(self.frames)
-            while len(out) < self.num_frames:
-                out.append(self.frames[-1])
-            return out
-        idx = np.linspace(0, n - 1, self.num_frames).round().astype(int)
-        return [self.frames[i] for i in idx]
+        frames = list(self.frames)
+        if len(frames) < self.num_frames:
+            pad = self.pad_frame
+            if pad is None:
+                pad = np.zeros_like(np.asarray(frames[0]))
+            frames = [pad] * (self.num_frames - len(frames)) + frames
+        idx = np.linspace(0, len(frames) - 1, num=self.num_frames - 1,
+                          endpoint=False, dtype=int)
+        return [frames[i] for i in idx] + [frames[-1]]
+
+
+def parse_nav_action(text: str) -> list:
+    """Generated navigation text -> env action-int queue, reference-exact
+    (exp/navila_exp.py:376-437): 0 stop / 1 forward / 2 left / 3 right; a
+    'move forward N cm' repeats action 1 N//25 times (N snapped to
+    {25,50,75}), turns repeat N//15 times (snapped to {15,30,45}); defaults
+    25 cm / 15 degrees when the magnitude is missing; unrecognized text maps
+    to [0] (the reference's else branch)."""
+    import re as _re
+
+    patterns = {
+        0: _re.compile(r"\bstop\b", _re.IGNORECASE),
+        1: _re.compile(r"\bis move forward\b", _re.IGNORECASE),
+        2: _re.compile(r"\bis turn left\b", _re.IGNORECASE),
+        3: _re.compile(r"\bis turn right\b", _re.IGNORECASE),
+    }
+    action = None
+    for a, pat in patterns.items():
+        if pat.search(text):
+            action = a
+            break
+
+    def _magnitude(pattern, default, steps):
+        m = _re.search(pattern, text)
+        try:
+            v = int(m.group(1))
+        except (AttributeError, ValueError):
+            v = default
+        if v % steps[0] != 0:
+            v = min(steps, key=lambda x: abs(x - v))
+        return v
+
+    queue = []
+    if action == 1:
+        d = _magnitude(r"move forward (\d+) cm", 25, [25, 50, 75])
+        queue += [1] * (d // 25)
+    elif action == 2:
+        d = _magnitude(r"turn left (\d+) degree", 15, [15, 30, 45])
+        queue += [2] * (d // 15)
+    elif action == 3:
+        d = _magnitude(r"turn right (\d+) degree", 15, [15, 30, 45])
+        queue += [3] * (d // 15)
+    else:
+        queue.append(0)
+    return queue

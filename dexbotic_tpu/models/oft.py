@@ -227,7 +227,9 @@ def _prefill_prompt(params, cfg, prompt_embeds, prompt_valid):
 # ---------------------------------------------------------------------------
 
 
-def oft_loss(params, cfg: OFTConfig, batch: dict, rng: jax.Array, remat: bool = False):
+def oft_loss(params, cfg: OFTConfig, batch: dict, rng: jax.Array, remat: bool = False,
+             diffusion_t: Optional[jnp.ndarray] = None,  # [B] injectable (parity)
+             diffusion_noise: Optional[jnp.ndarray] = None):  # [B, chunk, dim]
     """L1 / diffusion-MSE / discrete-CE training loss."""
     B = batch["input_ids"].shape[0]
     actions = batch["actions"].reshape(B, -1, cfg.action_dim)[:, : cfg.chunk_size]
@@ -239,8 +241,10 @@ def oft_loss(params, cfg: OFTConfig, batch: dict, rng: jax.Array, remat: bool = 
     if "Diffusion" in t:
         sched = DiffusionSchedule.create(cfg.num_diffusion_steps)
         k_t, k_n = jax.random.split(rng)
-        ts = jax.random.randint(k_t, (B,), 0, cfg.num_diffusion_steps)
-        noise = jax.random.normal(k_n, actions.shape, jnp.float32)
+        ts = (jax.random.randint(k_t, (B,), 0, cfg.num_diffusion_steps)
+              if diffusion_t is None else diffusion_t)
+        noise = (jax.random.normal(k_n, actions.shape, jnp.float32)
+                 if diffusion_noise is None else diffusion_noise)
         noisy = sched.q_sample(actions, ts, noise)
         time_emb = sinusoidal_time_encoding(ts, cfg.hidden)
         seg = _action_segment(params, cfg, B, prompt.dtype, states, noisy, time_emb)

@@ -59,9 +59,13 @@ class DiffusionSchedule:
 
     def training_loss(self, eps_fn, x0: jnp.ndarray, rng: jax.Array,
                       t: jnp.ndarray | None = None,
-                      noise: jnp.ndarray | None = None) -> jnp.ndarray:
+                      noise: jnp.ndarray | None = None,
+                      reduction: str = "mean") -> jnp.ndarray:
         """Epsilon-prediction MSE at uniformly sampled t (fp32).  `t`/`noise`
-        are injectable for torch-parity tests and checkpoint-replay pinning."""
+        are injectable for torch-parity tests and checkpoint-replay pinning.
+        reduction='none' returns the per-sample mean [B] (the reference
+        hybrid's loss(..., reduction='none').mean(dim=[1,2]),
+        hybrid_cogact_arch.py:175-181)."""
         k_t, k_n = jax.random.split(rng)
         B = x0.shape[0]
         if t is None:
@@ -70,7 +74,10 @@ class DiffusionSchedule:
             noise = jax.random.normal(k_n, x0.shape, jnp.float32)
         x_t = self.q_sample(x0.astype(jnp.float32), t, noise)
         eps_pred = eps_fn(x_t, t)
-        return jnp.mean(jnp.square(eps_pred.astype(jnp.float32) - noise))
+        se = jnp.square(eps_pred.astype(jnp.float32) - noise)
+        if reduction == "none":
+            return se.reshape(B, -1).mean(axis=1)
+        return jnp.mean(se)
 
     def ddim_sample(
         self,

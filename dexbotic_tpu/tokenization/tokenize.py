@@ -72,7 +72,10 @@ class SimpleTokenizer:
             return type("Enc", (), {"input_ids": self.encode(text)})()
         return type("Enc", (), {"input_ids": [self.encode(t) for t in text]})()
 
-    def decode(self, ids) -> str:
+    def batch_decode(self, seqs, **kw) -> list[str]:
+        return [self.decode(s) for s in seqs]
+
+    def decode(self, ids, **kw) -> str:
         out = []
         byte_buf = []
         inv = {v: k for k, v in self._special_ids.items()}

@@ -253,13 +253,15 @@ def test_navila_exp_packed_train(tmp_path, monkeypatch, cp_seq):
 
 
 def test_frame_history_buffer():
-    buf = FrameHistoryBuffer(num_frames=4)
+    # reference semantics (exp/navila_exp.py:242-257): black frames pad the
+    # FRONT; history sampled linspace(endpoint=False), latest always last
+    buf = FrameHistoryBuffer(num_frames=4, pad_frame=-1)
     for i in range(3):
         frames = buf.add(i)
-    assert frames == [0, 1, 2, 2]  # padded with last
+    assert frames == [-1, 0, 1, 2]
     for i in range(3, 10):
         frames = buf.add(i)
-    assert len(frames) == 4 and frames[0] == 0 and frames[-1] == 9
+    assert frames == [0, 3, 6, 9]
 
 
 def test_navila_session_engine_matches_generate():
@@ -297,7 +299,7 @@ def test_navila_session_engine_matches_generate():
     expected = [e.split("\x00")[0] if "\x00" in e else e for e in expected]
 
     eng = NaVILAInferenceSession.make_shared_engine(
-        cfg, params, slots=2, max_new_tokens=48, max_prompt=512,
+        cfg, params, slots=2, max_new_tokens=48, max_prompt=1024,
     )
     try:
         sessions = [

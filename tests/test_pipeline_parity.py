@@ -901,3 +901,592 @@ def test_dm0_bytes_to_actions_parity(ref_env, siglip_dir):
         httpd.shutdown()
     assert ours.shape == acts_ref.shape == (5, 7)
     np.testing.assert_allclose(ours, acts_ref, atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# MUVLA (map+obs dual towers -> fused tokens -> AR text; VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clip64_dir(tmp_path_factory):
+    """hidden-64 tiny CLIP tower: the reference's CrossFuseReduce attention
+    width must divide by 64 (muvla_arch.py:32-35), so the MUVLA leg uses a
+    64-wide tower and inter_dim=64 (1 head)."""
+    from transformers import CLIPImageProcessor, CLIPVisionConfig, CLIPVisionModel
+
+    d = tmp_path_factory.mktemp("towers") / "tiny-clip64-vit"
+    torch.manual_seed(70)
+    cfg = CLIPVisionConfig(
+        image_size=28, patch_size=14, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128, projection_dim=64,
+    )
+    CLIPVisionModel(cfg).save_pretrained(d)
+    CLIPImageProcessor(crop_size=28, size=28).save_pretrained(d)
+    return str(d)
+
+
+def test_muvla_bytes_to_text_parity(ref_env, clip64_dir, tmp_path):
+    """Map PNG + obs PNG + prompt through (a) the reference MUVLA serving
+    recipe (exp/muvla_exp.py:199-238): process_images -> dexbotic template
+    with DEFAULT_IMAGE_TOKEN+text (no newline) -> tokenizer_image_token ->
+    MUVLAForCausalLM.generate (fuse_obs_with_history_and_project splice,
+    muvla_arch.py:224-248) -> decode/strip sep2 — and (b) our MUVLAServer
+    over HTTP.  Sampling pinned to argmax on both sides (temperature-scaled
+    multinomial is argmax-invariant); the generated TEXT must match."""
+    import dataclasses
+
+    from dexbotic.model.muvla import muvla_arch
+    from dexbotic.tokenization import conversation as ref_conv
+    from dexbotic.tokenization.conversation import KeywordsStoppingCriteria
+    from dexbotic.tokenization.tokenization import tokenizer_image_token as ref_tit
+
+    from dexbotic_tpu.exp.muvla_exp import MUVLAExp, MUVLAModelConfig
+    from dexbotic_tpu.exp.serve import MUVLAServer
+    from dexbotic_tpu.models.muvla import MUVLAConfig
+    from dexbotic_tpu.utils.convert import convert_muvla
+
+    # MUVLAModel loads its llm via AutoConfig.from_pretrained(PATH)
+    # (muvla_arch.py:76) — unlike the other archs which take config objects
+    llm_dir = tmp_path / "tiny-llama-cfg"
+    _llama_hf().save_pretrained(llm_dir)
+    cfg_r = muvla_arch.MUVLAConfig(
+        llm_config=str(llm_dir), mm_vision_tower=clip64_dir,
+        obs_vision_tower=clip64_dir, mm_projector_type="mlp2x_gelu",
+    )
+    torch.manual_seed(71)
+    ref = muvla_arch.MUVLAForCausalLM(cfg_r).eval().float()
+    # the reference hardcodes CLIP-L widths (1024/4096) in its fuser/qformer
+    # builders (muvla_arch.py:140-150); re-instantiate ITS classes at the
+    # tiny tower width — the forward code is unchanged
+    torch.manual_seed(72)
+    ref.model.fuser = muvla_arch.CrossFuseReduce(inter_dim=64, fuse_len=1).float()
+    ref.model.history_qformer = muvla_arch.SimpleQFormer(
+        input_dim=64, hidden_dim=64, num_queries=8).float()
+
+    clip64_t = dataclasses.replace(CLIP_T, hidden_size=64, intermediate_size=128)
+    cfg = MUVLAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=clip64_t, projector_type="mlp2x_gelu"),
+        obs_vit=clip64_t, inter_dim=64, num_history_queries=8,
+    )
+    params = convert_muvla(_sd(ref), cfg)
+
+    exp = _tiny_exp(MUVLAExp, MUVLAModelConfig(
+        llm_preset="test", vit_preset="test", inter_dim=64,
+        num_history_queries=8,
+    ))
+    tokenizer = exp.tokenizer.build_tokenizer()
+
+    map_png, obs_png = _png_bytes(73), _png_bytes(74)
+
+    # --- (a) reference recipe, its own functions
+    pils = [Image.open(io.BytesIO(b)).convert("RGB") for b in (map_png, obs_png)]
+    image_tensor = ref.process_images(pils).to(dtype=ref.dtype).unsqueeze(0)
+    conv = ref_conv.conv_templates["dexbotic"].copy()
+    conv.append_message(conv.roles[0], "<image>" + TEXT)
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt()
+    input_ids = ref_tit(prompt, tokenizer, IMAGE_TOKEN_INDEX,
+                        return_tensors="pt").unsqueeze(0)
+    stop_str = conv.sep2
+    stopping = KeywordsStoppingCriteria([stop_str], tokenizer, input_ids)
+    orig_mn = torch.multinomial
+    torch.multinomial = (
+        lambda probs, num_samples=1, **kw: probs.argmax(-1, keepdim=True))
+    try:
+        with torch.inference_mode():
+            out_ids = ref.generate(
+                input_ids, images=image_tensor, do_sample=True, temperature=0.7,
+                use_cache=True, stopping_criteria=[stopping], max_new_tokens=5,
+            )
+    finally:
+        torch.multinomial = orig_mn
+    ref_text = tokenizer.decode(out_ids[0, input_ids.shape[1]:].tolist())
+    ref_text = ref_text.replace(stop_str, "").strip()
+
+    # --- (b) our HTTP server (greedy decode), same bytes
+    srv = MUVLAServer(exp, cfg, params, tokenizer, host="127.0.0.1", port=0,
+                      max_new_tokens=5)
+    httpd = srv.serve_background()
+    try:
+        import urllib.request as _rq
+
+        boundary = "XBX"
+        parts = [(f'--{boundary}\r\nContent-Disposition: form-data; '
+                  f'name="text"\r\n\r\n{TEXT}\r\n').encode()]
+        for i, img in enumerate((map_png, obs_png)):
+            parts.append(
+                (f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+                 f'filename="f{i}.png"\r\nContent-Type: image/png\r\n\r\n').encode()
+                + img + b"\r\n")
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        req = _rq.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/process_frame",
+            data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with _rq.urlopen(req, timeout=600) as r:
+            ours = json.loads(r.read())
+    finally:
+        httpd.shutdown()
+    assert ours["text"] == ref_text, (ours["text"], ref_text)
+
+
+# ---------------------------------------------------------------------------
+# Discrete VLA (AR digit-string policy; VERDICT r4 #5).  Two pins:
+#   1. generation parity — the reference's own generate call (the exact
+#      args its inference_action uses, discrete_vla_arch.py:34-42) vs our
+#      DiscreteVLAServer's engine decode over HTTP, token-for-token, from
+#      the same PNG bytes (sampling pinned to argmax on both sides);
+#   2. parse+denorm parity — a shared decoded string through the
+#      reference's OWN _discrete_action_to_continuous + _denorm
+#      (discrete_vla_arch.py:52-58, dexbotic_arch.py:552-563) vs our
+#      server's regex/bin/denorm path on the same generated tokens.
+# A randomly-initialized tiny LLM greedy-decodes a degenerate non-digit
+# stream, so the reference's full inference_action would burn its 40
+# retries on unparseable text; the two pins jointly cover its pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _build_discrete_vla(clip_dir):
+    from dexbotic.model.dexbotic_arch import DexboticConfig
+    from dexbotic.model.discrete_vla.discrete_vla_arch import DiscreteVLAForCausalLM
+
+    from dexbotic_tpu.models.discrete_vla import DiscreteVLAConfig
+    from dexbotic_tpu.utils.convert import (
+        attach_lm_head, convert_llm, convert_projector, convert_vit,
+    )
+
+    cfg_r = DexboticConfig(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu",
+    )
+    torch.manual_seed(81)
+    ref = DiscreteVLAForCausalLM(cfg_r).eval().float()
+    sd = _sd(ref)
+    cfg = DiscreteVLAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"),
+        action_dim=7, vocab_bins=255, max_new_tokens=24, max_retries=2,
+    )
+    llm = convert_llm(sd, cfg.vlm.llm, prefix="model.llm.")
+    llm = attach_lm_head(llm, sd, "lm_head.weight")
+    params = {"vlm": {
+        "llm": llm,
+        "vit": convert_vit(sd, cfg.vlm.vit,
+                           prefix="model.mm_vision_tower.vision_tower.vision_model."),
+        "projector": convert_projector(sd, cfg.vlm.projector_type,
+                                       prefix="model.mm_projector."),
+    }}
+    return ref, cfg, params
+
+
+def _discrete_server(cfg, params, tokenizer, **kw):
+    from dexbotic_tpu.exp.discrete_vla_exp import DiscreteVLAExp, DiscreteVLAModelConfig
+    from dexbotic_tpu.exp.serve import DiscreteVLAServer
+
+    exp = _tiny_exp(DiscreteVLAExp, DiscreteVLAModelConfig(
+        llm_preset="test", vit_preset="test", action_dim=7, vocab_bins=255,
+    ))
+    return DiscreteVLAServer(exp, cfg, params, exp.tokenizer.build_tokenizer()
+                             if tokenizer is None else tokenizer,
+                             norms=NORMS, host="127.0.0.1", port=0, **kw), exp
+
+
+def test_discrete_vla_generation_parity(ref_env, clip_dir):
+    from dexbotic.tokenization.conversation import KeywordsStoppingCriteria
+
+    from dexbotic_tpu.tokenization.tokenize import SimpleTokenizer
+
+    ref, cfg, params = _build_discrete_vla(clip_dir)
+    tokenizer = SimpleTokenizer(model_max_length=256)
+    png = _png_bytes(82)
+
+    # (a) the reference's generate, exactly as its inference_action calls it
+    pil = Image.open(io.BytesIO(png)).convert("RGB")
+    img = ref.process_images([pil]).to(dtype=ref.dtype)
+    ids = _ref_serving_ids(tokenizer, TEXT, stub=None)
+    stop_str = "<|endoftext|>"  # conv 'dexbotic' sep2 (SeparatorStyle.TWO)
+    stopping = KeywordsStoppingCriteria([stop_str], tokenizer, ids)
+    orig_mn = torch.multinomial
+    torch.multinomial = (
+        lambda probs, num_samples=1, **kw: probs.argmax(-1, keepdim=True))
+    try:
+        with torch.inference_mode():
+            out = ref.generate(ids, images=img, max_new_tokens=24,
+                               do_sample=True, temperature=0.7,
+                               return_dict_in_generate=True,
+                               stopping_criteria=[stopping])
+    finally:
+        torch.multinomial = orig_mn
+    ref_toks = out.sequences[0, ids.shape[1]:].tolist()
+    ref_text = tokenizer.decode(ref_toks).strip(stop_str)
+
+    # (b) our server's engine decode (greedy) over HTTP, same bytes
+    srv, _ = _discrete_server(cfg, params, tokenizer, continuous_batching=1)
+    httpd = srv.serve_background()
+    try:
+        import urllib.request as _rq
+
+        boundary = "XBX"
+        body = ((f'--{boundary}\r\nContent-Disposition: form-data; '
+                 f'name="text"\r\n\r\n{TEXT}\r\n').encode()
+                + (f'--{boundary}\r\nContent-Disposition: form-data; '
+                   f'name="image"; filename="f.png"\r\n'
+                   f'Content-Type: image/png\r\n\r\n').encode()
+                + png + b"\r\n" + f"--{boundary}--\r\n".encode())
+        req = _rq.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/process_frame",
+            data=body,
+            headers={"Content-Type": f"multipart/form-data; boundary={boundary}"})
+        with _rq.urlopen(req, timeout=600) as r:
+            ours = json.loads(r.read())
+    finally:
+        httpd.shutdown()
+    # the engine decodes the same greedy stream the reference produced —
+    # token-for-token (so byte-for-byte after the same tokenizer)
+    assert ours["text"] == ref_text, (ours["text"], ref_text)
+
+
+def test_discrete_vla_parse_denorm_parity(ref_env, clip_dir):
+    import dexbotic_tpu.models.discrete_vla as dvla_mod
+
+    ref, cfg, params = _build_discrete_vla(clip_dir)
+    action_str = "I choose bins 12 240 7 199 54 0 88 now."
+    from dexbotic_tpu.tokenization.tokenize import SimpleTokenizer
+
+    tokenizer = SimpleTokenizer(model_max_length=256)
+
+    # (a) the reference's own parse + denorm on the decoded string
+    ref_actions = ref._discrete_action_to_continuous(action_str, 255)
+    ref_final = ref._denorm(ref_actions, NORMS)  # [1, 7]
+
+    # (b) our server's full path with generation pinned to tokens that
+    # decode to the SAME string (the parse/denorm stages under test run on
+    # identical text)
+    toks = tokenizer.encode(action_str, add_bos=False) + [tokenizer.eos_token_id]
+    fake_tokens = jnp.asarray([toks], jnp.int32)
+
+    orig_gen = dvla_mod.generate
+    dvla_mod.generate = lambda *a, **kw: (fake_tokens, None)
+    try:
+        srv, _ = _discrete_server(cfg, params, tokenizer)
+        httpd = srv.serve_background()
+        try:
+            import urllib.request as _rq
+
+            png = _png_bytes(83)
+            boundary = "XBX"
+            body = ((f'--{boundary}\r\nContent-Disposition: form-data; '
+                     f'name="text"\r\n\r\n{TEXT}\r\n').encode()
+                    + (f'--{boundary}\r\nContent-Disposition: form-data; '
+                       f'name="image"; filename="f.png"\r\n'
+                       f'Content-Type: image/png\r\n\r\n').encode()
+                    + png + b"\r\n" + f"--{boundary}--\r\n".encode())
+            req = _rq.Request(
+                f"http://127.0.0.1:{httpd.server_address[1]}/process_frame",
+                data=body,
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={boundary}"})
+            with _rq.urlopen(req, timeout=600) as r:
+                ours = json.loads(r.read())
+        finally:
+            httpd.shutdown()
+    finally:
+        dvla_mod.generate = orig_gen
+    # the reference's bin->continuous math runs float32 (:55-57); ours
+    # float64 — agree to fp32 rounding
+    np.testing.assert_allclose(
+        np.asarray(ours["actions"], np.float64), ref_final[0], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# NaVILA (8-frame history + AR text decode + action-queue parse;
+# VERDICT r4 #5).  The reference's NaVILAInferenceConfig is executed
+# directly: its _prepare_images / sample_and_pad_images (black front-pad +
+# endpoint=False temporal sampling), its nav question with per-frame
+# '<image>\n' tags, its BGR channel flip, its KeywordsStoppingCriteria
+# greedy generate, and its inline regex -> action-queue parse
+# (exp/navila_exp.py:242-437) — against our NaVILAServer over HTTP.
+# ---------------------------------------------------------------------------
+
+
+def _install_ref_exp_env():
+    """Extend _install_ref_env so the reference's exp/navila_exp.py module
+    imports: its heavyweight training-side imports (base_exp -> flask/
+    megfile/albumentations/decord, navila_trainer -> HF Trainer) are
+    satisfied with inert shells; every function the test executes lives in
+    navila_exp itself or the (real) model/tokenization modules."""
+    import sys
+    import types
+
+    from test_policy_parity import _mod
+
+    _install_ref_env()
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = _mod(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    class EasyDict(dict):
+        __getattr__ = dict.get
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    stub("easydict", EasyDict=EasyDict)
+
+    class _Flask:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_url_rule(self, *a, **k):
+            pass
+
+        def run(self, *a, **k):
+            pass
+
+    stub("flask", Flask=_Flask, jsonify=lambda x: x, request=None)
+    stub("megfile", smart_open=open, smart_exists=lambda p: False)
+
+    if "dexbotic.exp.base_exp" not in sys.modules:
+        import dataclasses as _dc
+
+        be = types.ModuleType("dexbotic.exp.base_exp")
+
+        class Config:  # reference base_exp.py:60-61
+            pass
+
+        names = ("ActionConfig", "BaseExp", "DataConfig", "InferenceConfig",
+                 "ModelConfig", "OptimizerConfig", "TokenizerConfig",
+                 "TrainerConfig")
+        be.Config = Config
+        for n in names:
+            cls = _dc.dataclass(type(n, (), {}))
+            setattr(be, n, cls)
+        sys.modules["dexbotic.exp.base_exp"] = be
+    stub("dexbotic.exp.navila_trainer", DexboticNaVILATrainer=object)
+    stub("dexbotic.data.dataset.dex_navila_dataset", DexNavilaDataset=object)
+    stub("dexbotic.data.dataset.transform.multimodal", LoadMultiModal=object)
+
+
+@pytest.fixture(scope="module")
+def siglip42_dir(tmp_path_factory):
+    """42x42 siglip tower -> 3x3 token grid: mlp_downsample's ODD-grid
+    padding branch, the regime production NaVILA runs (so400m-384: 27x27) —
+    the reference DownSampleBlock's even-grid path hits a non-contiguous
+    .view() and cannot execute (mm_projector/builder.py:30)."""
+    from transformers import SiglipImageProcessor, SiglipVisionConfig, SiglipVisionModel
+
+    d = tmp_path_factory.mktemp("towers") / "tiny-siglip42-tower"
+    torch.manual_seed(90)
+    cfg = SiglipVisionConfig(
+        image_size=42, patch_size=14, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+    )
+    SiglipVisionModel(cfg).save_pretrained(d)
+    SiglipImageProcessor(size={"height": 42, "width": 42}).save_pretrained(d)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ref_navila(siglip42_dir):
+    """Tiny reference NaVILAForCausalLM + a bare NaVILAInferenceConfig
+    wired the way _initialize_inference would."""
+    from collections import deque
+
+    _install_ref_exp_env()
+    import dexbotic.exp.navila_exp as ref_nav_exp
+
+    from dexbotic_tpu.exp import base_exp
+    from dexbotic_tpu.exp.navila_exp import NaVILAExp, NaVILAModelConfig
+    from dexbotic_tpu.models.navila import NaVILAConfig
+    from dexbotic_tpu.utils.convert import (
+        attach_lm_head, convert_llm, convert_projector, convert_vit,
+    )
+
+    torch.manual_seed(91)
+    cfg_r = ref_nav_exp.NaVILAForCausalLM.config_class(
+        llm_config=_llama_hf().to_dict(), mm_vision_tower=siglip42_dir,
+        mm_projector_type="mlp_downsample",
+    )
+    ref = ref_nav_exp.NaVILAForCausalLM(cfg_r).eval().float()
+
+    icfg = ref_nav_exp.NaVILAInferenceConfig(num_images=3)
+    icfg.model = ref
+    icfg.model_config = ref.config
+    if getattr(icfg.model_config, "chat_template", None) is None:
+        icfg.model_config.chat_template = "llama_3"
+    icfg.history_buffer = deque()
+    icfg.meta_data = {}
+    icfg.device = torch.device("cpu")
+
+    exp = NaVILAExp(
+        model=NaVILAModelConfig(
+            llm_preset="test", vit_preset="test",
+            mm_projector_type="mlp_downsample", num_video_frames=3,
+        ),
+        tokenizer=base_exp.TokenizerConfig(model_max_length=4096,
+                                           chat_template="llama_3"),
+        data=base_exp.DataConfig(image_processor="42", aug_policy=None),
+    )
+    tokenizer = exp.tokenizer.build_tokenizer()
+    icfg.tokenizer = tokenizer
+
+    import dataclasses as _dc
+
+    cfg = NaVILAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=_dc.replace(SIGLIP_T, image_size=42),
+                      projector_type="mlp_downsample"),
+        num_video_frames=3,
+    )
+    sd = _sd(ref)
+    llm = convert_llm(sd, cfg.vlm.llm, prefix="model.llm.")
+    llm = attach_lm_head(llm, sd, "lm_head.weight")
+    params = {"vlm": {
+        "llm": llm,
+        "vit": convert_vit(
+            sd, cfg.vlm.vit,
+            prefix="model.mm_vision_tower.vision_tower.vision_model."),
+        "projector": convert_projector(
+            sd, "mlp_downsample", prefix="model.mm_projector."),
+    }}
+    return ref_nav_exp, icfg, exp, cfg, params, tokenizer
+
+
+def _post_nav(port, fields, images):
+    import urllib.request as _rq
+
+    boundary = "XBX"
+    parts = []
+    for name, val in fields.items():
+        parts.append(
+            (f'--{boundary}\r\nContent-Disposition: form-data; name="{name}"'
+             f"\r\n\r\n{val}\r\n").encode())
+    for i, img in enumerate(images):
+        parts.append(
+            (f'--{boundary}\r\nContent-Disposition: form-data; name="image"; '
+             f'filename="f{i}.png"\r\nContent-Type: image/png\r\n\r\n').encode()
+            + img + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    req = _rq.Request(f"http://127.0.0.1:{port}/process_frame", data=body,
+                      headers={"Content-Type":
+                               f"multipart/form-data; boundary={boundary}"})
+    with _rq.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def test_navila_bytes_to_queue_parity(ref_navila):
+    """THREE camera frames of one episode through both full serving stacks:
+    history accumulation (black front-pad + temporal sampling), per-frame
+    '<image>\\n' question, greedy AR decode, regex parse.  Per-frame action
+    queues AND the generated texts must agree."""
+    from dexbotic_tpu.exp.serve import NaVILAServer
+
+    ref_nav_exp, icfg, exp, cfg, params, tokenizer = ref_navila
+    instruction = "walk to the red chair in the corner"
+    frames = [_png_bytes(95 + i, w=42, h=42) for i in range(3)]
+
+    # record the reference's generated texts by wrapping ITS generate
+    ref_texts = []
+    real_generate = icfg.model.generate
+
+    def recording_generate(*a, **kw):
+        out = real_generate(*a, **kw)
+        prompt = a[0] if a else kw["input_ids"]
+        ref_texts.append((prompt.shape[1], out))
+        return out
+
+    icfg.model.generate = recording_generate
+    ref_queues = []
+    try:
+        with torch.no_grad():
+            for i, png in enumerate(frames):
+                icfg.meta_data = {"reset_memory": i == 0, "run_model": True}
+                if i == 0:
+                    icfg.history_buffer.clear()
+                streams = icfg._prepare_images(png)
+                for s in streams:
+                    s.seek(0)
+                ref_queues.append(
+                    icfg._get_response(text=instruction, images=streams))
+    finally:
+        icfg.model.generate = real_generate
+
+    srv = NaVILAServer(exp, cfg, params, tokenizer, host="127.0.0.1", port=0)
+    our_texts = []
+    real_act = srv.session.act
+
+    def recording_act(frame, instr, rng):
+        t = real_act(frame, instr, rng)
+        our_texts.append(t)
+        return t
+
+    srv.session.act = recording_act
+    httpd = srv.serve_background()
+    try:
+        our_queues = [
+            _post_nav(httpd.server_address[1],
+                      {"text": instruction,
+                       "episode_first_frame": "True" if i == 0 else "False"},
+                      [png])
+            for i, png in enumerate(frames)
+        ]
+    finally:
+        httpd.shutdown()
+
+    # texts: decode the reference's recorded sequences the way its
+    # _get_response does (strip specials + trailing stop string)
+    stop = "<|eot_id|>"
+    for i, (n_prompt, seq) in enumerate(ref_texts):
+        gen = seq.sequences[0] if hasattr(seq, "sequences") else seq[0]
+        text = tokenizer.decode(gen[n_prompt:].tolist()).strip()
+        if text.endswith(stop):
+            text = text[: -len(stop)].strip()
+        assert our_texts[i] == text, (i, our_texts[i], text)
+    assert our_queues == ref_queues, (our_queues, ref_queues)
+
+
+def test_navila_text_action_queue_parity(ref_navila):
+    """Crafted generation texts through the reference's OWN inline
+    regex -> queue logic (_get_response, navila_exp.py:376-437) vs our
+    parse_nav_action + server path, with generation pinned to the same
+    token streams on both sides."""
+    ref_nav_exp, icfg, exp, cfg, params, tokenizer = ref_navila
+    from dexbotic_tpu.models.navila import parse_nav_action
+
+    cases = [
+        "The next action is move forward 75 cm.",
+        "The next action is move forward 60 cm.",   # snaps to 50
+        "My plan is turn left 30 degree now",
+        "It is turn right 50 degree",                # snaps to 45
+        "The task is completed so I stop here.",
+        "unintelligible :::: output",
+        "is move forward without a distance",        # default 25
+    ]
+    real_generate = icfg.model.generate
+    import types as _types
+
+    for text_case in cases:
+        toks = tokenizer.encode(text_case, add_bos=False)
+        toks = toks + [tokenizer._special_ids["<|eot_id|>"]]
+
+        def fake_generate(input_ids, **kw):
+            seq = torch.cat(
+                [input_ids[0], torch.tensor(toks, dtype=input_ids.dtype)])
+            return _types.SimpleNamespace(sequences=seq[None])
+
+        icfg.model.generate = fake_generate
+        try:
+            icfg.history_buffer.clear()
+            icfg.meta_data = {"reset_memory": True, "run_model": True}
+            streams = icfg._prepare_images(_png_bytes(99, w=42, h=42))
+            for s in streams:
+                s.seek(0)
+            ref_queue = icfg._get_response(text="go", images=streams)
+        finally:
+            icfg.model.generate = real_generate
+        assert parse_nav_action(text_case) == ref_queue, (text_case, ref_queue)

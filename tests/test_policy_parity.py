@@ -97,12 +97,23 @@ def _install_ref_env():
     if "diffusers" not in sys.modules:
         df, dfs, dfd = _mod("diffusers"), _mod("diffusers.schedulers"), _mod("diffusers.schedulers.scheduling_ddim")
 
-        class DDIMScheduler:  # construction-only stub (L1 path never steps it)
+        class DDIMScheduler:  # stub; add_noise is the faithful diffusers
+            # squaredcos_cap_v2 forward process (the OFT DiT head's training
+            # noising, action_model/model.py:220-246) so the training-parity
+            # test can run it as the oracle
             def __init__(self, num_train_timesteps=1000, beta_schedule="linear", **kw):
                 self.config = types.SimpleNamespace(num_train_timesteps=num_train_timesteps)
+                import math
 
-            def add_noise(self, *a, **k):
-                raise NotImplementedError("diffusers stub")
+                T = num_train_timesteps
+                ab = lambda t: math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2  # noqa: E731
+                betas = [min(1 - ab((i + 1) / T) / ab(i / T), 0.999) for i in range(T)]
+                self.alphas_cumprod = torch.cumprod(1.0 - torch.tensor(betas, dtype=torch.float64), dim=0)
+
+            def add_noise(self, original_samples, noise, timesteps):
+                ab = self.alphas_cumprod.to(original_samples.dtype)[timesteps]
+                ab = ab.reshape((-1,) + (1,) * (original_samples.ndim - 1))
+                return ab.sqrt() * original_samples + (1.0 - ab).sqrt() * noise
 
             def step(self, *a, **k):
                 raise NotImplementedError("diffusers stub")

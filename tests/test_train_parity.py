@@ -318,3 +318,191 @@ def test_pi0_training_parity(ref_env, siglip_dir):
         ],
         ref_g, our_g,
     )
+
+
+# ---------------------------------------------------------------------------
+# OFT-L1: action-query L1 regression loss + grads (no sampling — fully
+# deterministic; oft_arch.py:104-152, action_model/model.py:129-160)
+# ---------------------------------------------------------------------------
+
+
+def test_oft_l1_training_parity(ref_env, clip_dir):
+    from dexbotic.model.oft.oft_arch import OFTConfig as RefCfg
+    from dexbotic.model.oft.oft_arch import OFTForCausalLM
+
+    from dexbotic_tpu.models.oft import OFTConfig, oft_loss
+    from dexbotic_tpu.utils.convert import convert_oft
+
+    cfg_r = RefCfg(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu", action_model_type="Linear",
+        action_dim=7, chunk_size=4, use_proprio=True, proprio_dim=9,
+    )
+    torch.manual_seed(61)
+    ref = OFTForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(62)
+    B = 2
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13],
+                        [1, 5, IMAGE_TOKEN_INDEX, 21, 23, 2]])
+    amask = np.ones((B, 6), bool)
+    img = rs.randn(B, 3, 28, 28).astype(np.float32)
+    states = rs.randn(B, 9).astype(np.float32)
+    actions = rs.randn(B, 6, 7).astype(np.float32)  # [:4] used
+
+    out = ref(
+        input_ids=torch.tensor(ids_ref), attention_mask=torch.tensor(amask),
+        images=torch.tensor(img), actions=torch.tensor(actions),
+        states=torch.tensor(states),
+    )
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.action_head.model.fc2.weight",
+        "model.action_head.model.mlp_resnet_blocks.0.ffn.1.weight",
+        "model.action_head.proprio_projector.fc1.weight",
+        "model.action_head.action_query",
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.0.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    cfg = OFTConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"),
+        action_model_type="L1", action_dim=7, chunk_size=4,
+        use_proprio=True, proprio_dim=9,
+    )
+    params = convert_oft(_sd(ref), cfg)
+    nt = cfg.vlm.num_image_tokens
+    ids = jnp.asarray([
+        [1, 7] + [IMAGE_TOKEN_INDEX] * nt + [9, 11, 13],
+        [1, 5] + [IMAGE_TOKEN_INDEX] * nt + [21, 23, 2],
+    ])
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        "actions": jnp.asarray(actions),
+        "states": jnp.asarray(states),
+    }
+    loss, our_g = jax.value_and_grad(
+        lambda p: oft_loss(p, cfg, batch, jax.random.PRNGKey(0))[0]
+    )(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.action_head.model.fc2.weight",
+             ("action_head", "mlp", "fc2", "w"), None),
+            ("model.action_head.model.mlp_resnet_blocks.0.ffn.1.weight",
+             ("action_head", "mlp", "blocks", 0, "fc", "w"), None),
+            ("model.action_head.proprio_projector.fc1.weight",
+             ("action_head", "proprio_projector", "fc1", "w"), None),
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.0.weight",
+             ("vlm", "projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+    # action_query is [1, A, H] on the torch side, [A, H] on ours (no .T)
+    np.testing.assert_allclose(
+        _leaf(our_g, ("action_head", "action_query")),
+        ref_g["model.action_head.action_query"][0], atol=ATOL,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OFT-Diffusion ("DiT"): noisy-action-token MSE loss + grads with pinned
+# (t, noise) — the first pin of this head anywhere (oft_arch.py:104-155,
+# action_model/model.py:197-271)
+# ---------------------------------------------------------------------------
+
+
+def test_oft_diffusion_training_parity(ref_env, clip_dir):
+    from dexbotic.model.oft.oft_arch import OFTConfig as RefCfg
+    from dexbotic.model.oft.oft_arch import OFTForCausalLM
+
+    from dexbotic_tpu.models.oft import OFTConfig, oft_loss
+    from dexbotic_tpu.utils.convert import convert_oft
+
+    cfg_r = RefCfg(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu", action_model_type="DiT",
+        action_dim=7, chunk_size=4,
+    )
+    torch.manual_seed(63)
+    ref = OFTForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(64)
+    B = 2
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13],
+                        [1, 5, IMAGE_TOKEN_INDEX, 21, 23, 2]])
+    amask = np.ones((B, 6), bool)
+    img = rs.randn(B, 3, 28, 28).astype(np.float32)
+    actions = rs.randn(B, 6, 7).astype(np.float32)
+    t_pin = rs.randint(0, 100, (B,)).astype(np.int64)
+    noise_pin = rs.randn(B, 4, 7).astype(np.float32)
+
+    orig_rn, orig_ri = torch.randn, torch.randint
+    torch.randn = lambda *a, **k: torch.tensor(noise_pin)
+    torch.randint = lambda *a, **k: torch.tensor(t_pin)
+    try:
+        out = ref(
+            input_ids=torch.tensor(ids_ref),
+            attention_mask=torch.tensor(amask),
+            images=torch.tensor(img), actions=torch.tensor(actions),
+        )
+    finally:
+        torch.randn, torch.randint = orig_rn, orig_ri
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.action_head.noise_predictor.mlp_resnet.fc2.weight",
+        "model.action_head.noise_predictor.mlp_resnet.mlp_resnet_blocks.1.ffn.1.weight",
+        "model.action_head.noisy_action_projector.fc1.weight",
+        "model.llm.layers.1.self_attn.q_proj.weight",
+        "model.mm_projector.0.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    cfg = OFTConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"),
+        action_model_type="Diffusion", action_dim=7, chunk_size=4,
+    )
+    params = convert_oft(_sd(ref), cfg)
+    nt = cfg.vlm.num_image_tokens
+    ids = jnp.asarray([
+        [1, 7] + [IMAGE_TOKEN_INDEX] * nt + [9, 11, 13],
+        [1, 5] + [IMAGE_TOKEN_INDEX] * nt + [21, 23, 2],
+    ])
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        "actions": jnp.asarray(actions),
+    }
+    loss, our_g = jax.value_and_grad(
+        lambda p: oft_loss(
+            p, cfg, batch, jax.random.PRNGKey(0),
+            diffusion_t=jnp.asarray(t_pin, jnp.int32),
+            diffusion_noise=jnp.asarray(noise_pin),
+        )[0]
+    )(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.action_head.noise_predictor.mlp_resnet.fc2.weight",
+             ("action_head", "noise_predictor", "fc2", "w"), None),
+            ("model.action_head.noise_predictor.mlp_resnet.mlp_resnet_blocks.1.ffn.1.weight",
+             ("action_head", "noise_predictor", "blocks", 1, "fc", "w"), None),
+            ("model.action_head.noisy_action_projector.fc1.weight",
+             ("action_head", "noisy_action_projector", "fc1", "w"), None),
+            ("model.llm.layers.1.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 1),
+            ("model.mm_projector.0.weight",
+             ("vlm", "projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
