@@ -17,7 +17,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from dexbotic_tpu.constants import IGNORE_INDEX
 from dexbotic_tpu.models import dit as dit_mod
 from dexbotic_tpu.models.losses import causal_lm_loss
 from dexbotic_tpu.models.vlm import VLMConfig, gather_last_hidden, init_vlm, vlm_forward
@@ -134,11 +133,12 @@ def cogact_loss(
         has_text = batch.get("has_text")
         labels = batch["labels"]
         if has_text is not None:
-            # reference (hybrid_cogact_arch.py:131-142): rows without text
-            # get IGNORE_INDEX labels; the CE (mean over surviving tokens)
-            # is then zeroed when NO row has text
+            # reference (hybrid_cogact_arch.py:131-142): `if ~has_text.any()`
+            # is `~(any())` — so whenever ANY row has text, NO row masking
+            # happens: the CE runs over every row's labels (the dataloader
+            # gives action-only rows all-IGNORE labels) and the whole term
+            # is scaled by has_text.any()
             ht = has_text.reshape(-1).astype(bool)
-            labels = jnp.where(ht[:, None], labels, IGNORE_INDEX)
             text_loss = causal_lm_loss(logits, labels) * jnp.any(ht).astype(
                 jnp.float32)
         else:

@@ -506,3 +506,505 @@ def test_oft_diffusion_training_parity(ref_env, clip_dir):
         ],
         ref_g, our_g,
     )
+
+
+# ---------------------------------------------------------------------------
+# MemVLA: memory-conditioned DiT diffusion loss + grads through the bank
+# (memvla_arch.py:546-658, action_model/action_models.py:72-89)
+# ---------------------------------------------------------------------------
+
+
+def test_memvla_training_parity(ref_env, clip_dir):
+    from dexbotic.model.memvla.memvla_arch import MemVLAConfig as RefCfg
+    from dexbotic.model.memvla.memvla_arch import MemVLAForCausalLM
+
+    from dexbotic_tpu.models.memvla import MemVLAConfig, init_mem_state, memvla_loss
+    from dexbotic_tpu.utils.convert import convert_memvla
+
+    cfg_r = RefCfg(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu", action_model_type="DiT-S",
+        action_dim=7, chunk_size=4, per_token_size=16, mem_length=4,
+        retrieval_layers=2, use_timestep_pe=True, fusion_type="gate",
+        consolidate_type="tome", update_fused=True,
+        dataloader_type="parallel_stream", group_size=2,
+    )
+    torch.manual_seed(65)
+    ref = MemVLAForCausalLM(cfg_r).eval().float()
+    # the reference feeds dropout_p=0.1 straight into F.scaled_dot_product_
+    # attention (memvla_arch.py:122-124) which ignores eval(); zero it
+    for blocks in ref.model.per_cog_mem_bank.retrieval_blocks.values():
+        for blk in blocks:
+            blk.dropout = 0.0
+
+    rs = np.random.RandomState(66)
+    B, rep = 2, 4
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13],
+                        [1, 5, IMAGE_TOKEN_INDEX, 21, 23, 2]])
+    amask = np.ones((B, 6), bool)
+    img = rs.randn(B, 3, 28, 28).astype(np.float32)
+    actions = rs.randn(B, 6, 7).astype(np.float32)
+    t_pin = rs.randint(0, 100, (B * rep,)).astype(np.int64)
+    noise_pin = rs.randn(B * rep, 4, 7).astype(np.float32)
+
+    orig_rl, orig_ri = torch.randn_like, torch.randint
+    torch.randn_like = lambda x, **k: torch.tensor(noise_pin).to(x.dtype)
+    torch.randint = lambda *a, **k: torch.tensor(t_pin)
+    try:
+        out = ref(
+            input_ids=torch.tensor(ids_ref),
+            attention_mask=torch.tensor(amask),
+            images=torch.tensor(img), actions=torch.tensor(actions),
+            indexes=[(0, 0, 0), (0, 1, 0)],  # two fresh episodes, timestep 0
+            repeated_diffusion_steps=rep,
+        )
+    finally:
+        torch.randn_like, torch.randint = orig_rl, orig_ri
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.action_head.net.final_layer.linear.weight",
+        "model.action_head.net.blocks.0.per_attn.out_proj.weight",
+        "model.action_head.net.per_token_embedder.linear.weight",
+        "model.per_compr.reduce.0.weight",
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.0.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    cfg = MemVLAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"),
+        action_model_type="DiT-S", action_dim=7, chunk_size=4,
+        per_token_size=16, mem_length=4,
+    )
+    params = convert_memvla(_sd(ref), cfg)
+    nt = cfg.vlm.num_image_tokens
+    ids = jnp.asarray([
+        [1, 7] + [IMAGE_TOKEN_INDEX] * nt + [9, 11, 13],
+        [1, 5] + [IMAGE_TOKEN_INDEX] * nt + [21, 23, 2],
+    ])
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        "actions": jnp.asarray(actions),
+        "timesteps": jnp.zeros((B,), jnp.float32),
+    }
+    state0 = init_mem_state(cfg, B)
+
+    def loss_fn(p):
+        return memvla_loss(
+            p, cfg, batch, state0, jax.random.PRNGKey(0),
+            diffusion_t=jnp.asarray(t_pin, jnp.int32),
+            diffusion_noise=jnp.asarray(noise_pin),
+        )[0]
+
+    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.action_head.net.final_layer.linear.weight",
+             ("action_head", "final", "w"), None),
+            ("model.action_head.net.blocks.0.per_attn.out_proj.weight",
+             ("action_head", "blocks", "xattn", "o", "w"), 0),
+            ("model.action_head.net.per_token_embedder.linear.weight",
+             ("action_head", "per_token_embedder", "w"), None),
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.0.weight",
+             ("vlm", "projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+    # per_compr 1x1 conv: torch [out, in, 1, 1] vs our linear [in, out]
+    np.testing.assert_allclose(
+        _leaf(our_g, ("per_compr", "reduce", "fc1", "w")),
+        ref_g["model.per_compr.reduce.0.weight"].squeeze((2, 3)).T, atol=ATOL,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DM0: Qwen3-pair flow-matching loss + grads (Beta(1.5,1) time pinned;
+# dm0_arch.py:408-512)
+# ---------------------------------------------------------------------------
+
+
+def test_dm0_training_parity(ref_env, siglip_dir):
+    import dataclasses
+
+    from transformers import Qwen3Config
+
+    from dexbotic.model.dm0 import dm0_arch
+
+    from dexbotic_tpu.models.flow_vla import dm0_config, flow_vla_loss
+    from dexbotic_tpu.utils.convert import convert_flow_vla
+
+    dm0_arch.DynamicCache = CompatCache
+    llm_cfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=128, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attention_dropout=0.0, tie_word_embeddings=True,
+    )
+    exp_cfg = Qwen3Config(
+        vocab_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=64, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attention_dropout=0.0,
+    )
+    cfg_r = dm0_arch.DM0Config(
+        llm_config=llm_cfg, mm_vision_tower=siglip_dir, action_config=exp_cfg,
+        mm_projector_type="linear", action_dim=8, chunk_size=5, bf16=False,
+    )
+    torch.manual_seed(67)
+    ref = dm0_arch.DM0ForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(68)
+    B = 2
+    ids = rs.randint(1, 500, (B, 6))
+    amask = np.ones((B, 6), bool)
+    images = rs.randn(B, 2, 3, 28, 28).astype(np.float32)
+    image_masks = np.array([[True, False], [True, True]])
+    actions = rs.randn(B, 5, 8).astype(np.float32)
+    noise_pin = rs.randn(B, 5, 8).astype(np.float32)
+    beta_pin = rs.beta(1.5, 1.0, (B,)).astype(np.float32)
+
+    class _PinnedBeta:
+        def __init__(self, *a, **k):
+            pass
+
+        def sample(self, shape):
+            return torch.tensor(beta_pin[: shape[0]])
+
+    orig_normal, orig_beta = torch.normal, torch.distributions.Beta
+    torch.normal = lambda *a, **k: torch.tensor(noise_pin)
+    torch.distributions.Beta = _PinnedBeta
+    try:
+        out = ref(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(amask),
+            images=torch.tensor(images),
+            image_masks=torch.tensor(image_masks),
+            actions=torch.tensor(actions),
+        )
+    finally:
+        torch.normal, torch.distributions.Beta = orig_normal, orig_beta
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.action_out_proj.weight",
+        "model.action_in_proj.weight",
+        "model.action_time_mlp_in.weight",
+        "model.action_expert.model.layers.0.self_attn.q_proj.weight",
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    qwen_t = dataclasses.replace(LLAMA_T, qk_norm=True)
+    qwen_expert_t = dataclasses.replace(
+        LLAMA_T, vocab_size=8, hidden_size=32, intermediate_size=64,
+        qk_norm=True, has_embed=False,
+    )
+    cfg = dm0_config(qwen_t, qwen_expert_t, SIGLIP_T, action_dim=8,
+                     chunk_size=5, projector_type="linear")
+    params = convert_flow_vla(_sd(ref), cfg)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(amask, jnp.int32),
+        "images": jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        "image_masks": jnp.asarray(image_masks, jnp.int32),
+        "actions": jnp.asarray(actions),
+    }
+    time_pin = beta_pin * 0.999 + 0.001
+
+    def loss_fn(p):
+        return flow_vla_loss(
+            p, cfg, batch, jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise_pin), time=jnp.asarray(time_pin),
+        )[0]
+
+    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.action_out_proj.weight", ("action_out_proj", "w"), None),
+            ("model.action_in_proj.weight", ("action_in_proj", "w"), None),
+            ("model.action_time_mlp_in.weight", ("time_mlp_in", "w"), None),
+            ("model.action_expert.model.layers.0.self_attn.q_proj.weight",
+             ("expert", "layers", "attn", "q", "w"), 0),
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.weight",
+             ("vlm", "projector", "fc", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+
+
+# ---------------------------------------------------------------------------
+# NaVILA: soft cross-entropy over time tokens (training-mode loss;
+# navila_arch.py:473-487, model/navila/loss.py:11-71)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def siglip42_dir(tmp_path_factory):
+    """42x42 siglip -> 3x3 grid: mlp_downsample's odd-grid padding branch
+    (the only branch the reference's DownSampleBlock can execute)."""
+    from transformers import SiglipImageProcessor, SiglipVisionConfig, SiglipVisionModel
+
+    d = tmp_path_factory.mktemp("towers") / "tiny-siglip42-tower"
+    torch.manual_seed(90)
+    cfg = SiglipVisionConfig(
+        image_size=42, patch_size=14, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+    )
+    SiglipVisionModel(cfg).save_pretrained(d)
+    SiglipImageProcessor(size={"height": 42, "width": 42}).save_pretrained(d)
+    return str(d)
+
+
+def test_navila_training_parity(ref_env, siglip42_dir):
+    import dataclasses
+
+    from dexbotic.model.navila.navila_arch import NaVILAForCausalLM
+
+    from dexbotic_tpu.models.navila import NaVILAConfig, navila_loss
+    from dexbotic_tpu.utils.convert import (
+        attach_lm_head, convert_llm, convert_projector, convert_vit,
+    )
+
+    soft_ids = [10, 11, 12, 13, 14]
+    cfg_r = NaVILAForCausalLM.config_class(
+        llm_config=_llama_hf().to_dict(), mm_vision_tower=siglip42_dir,
+        mm_projector_type="mlp_downsample",
+        time_token_ids=soft_ids, soft_ce_std=1.0,
+    )
+    torch.manual_seed(69)
+    ref = NaVILAForCausalLM(cfg_r).float()
+    ref.train()  # soft CE only fires in training mode; all dropouts are 0
+
+    rs = np.random.RandomState(70)
+    B, frames = 2, 2
+    # two <image> placeholders per row; answer mixes soft + regular tokens
+    ids_ref = np.array([
+        [1, 7, IMAGE_TOKEN_INDEX, 8, IMAGE_TOKEN_INDEX, 9, 30, 11, 12, 2],
+        [1, 5, IMAGE_TOKEN_INDEX, 6, IMAGE_TOKEN_INDEX, 4, 40, 13, 10, 2],
+    ])
+    labels_ref = np.full_like(ids_ref, -100)
+    labels_ref[:, 6:] = ids_ref[:, 6:]  # answer region
+    amask = np.ones(ids_ref.shape, bool)
+    imgs = rs.randn(B, frames, 3, 42, 42).astype(np.float32)
+
+    out = ref(
+        input_ids=torch.tensor(ids_ref),
+        attention_mask=torch.tensor(amask),
+        images=torch.tensor(imgs),
+        labels=torch.tensor(labels_ref),
+    )
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.llm.embed_tokens.weight",  # TIED to lm_head (outer config)
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.llm.layers.1.mlp.down_proj.weight",
+        "model.mm_projector.2.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    cfg = NaVILAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=dataclasses.replace(SIGLIP_T, image_size=42),
+                      projector_type="mlp_downsample"),
+        num_video_frames=frames, use_soft_ce=True, soft_ce_std=1.0,
+    )
+    sd = _sd(ref)
+    params = {"vlm": {
+        "llm": attach_lm_head(
+            convert_llm(sd, cfg.vlm.llm, prefix="model.llm."), sd),
+        "vit": convert_vit(
+            sd, cfg.vlm.vit,
+            prefix="model.mm_vision_tower.vision_tower.vision_model."),
+        "projector": convert_projector(
+            sd, "mlp_downsample", prefix="model.mm_projector."),
+    }}
+    nt = cfg.vlm.num_image_tokens  # per-frame tokens after downsample
+
+    def expand(row, fill):
+        out_row = []
+        for tok in row:
+            if tok == IMAGE_TOKEN_INDEX:
+                out_row.extend([fill] * nt)
+            else:
+                out_row.append(tok)
+        return out_row
+
+    def expand_labels(id_row, lab_row):
+        # image positions expand to nt IGNOREs, like the reference's
+        # _insert_multimodal_embeds_per_batch (navila_arch.py:191-213)
+        out_row = []
+        for tok, lab in zip(id_row, lab_row):
+            if tok == IMAGE_TOKEN_INDEX:
+                out_row.extend([-100] * nt)
+            else:
+                out_row.append(lab)
+        return out_row
+
+    ids = jnp.asarray([expand(r, IMAGE_TOKEN_INDEX) for r in ids_ref])
+    labels = jnp.asarray([
+        expand_labels(ir, lr) for ir, lr in zip(ids_ref, labels_ref)
+    ])
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
+        "labels": labels,
+    }
+    loss, our_g = jax.value_and_grad(
+        lambda p: navila_loss(p, cfg, batch,
+                              soft_tokens=jnp.asarray(soft_ids))[0]
+    )(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.llm.layers.1.mlp.down_proj.weight",
+             ("vlm", "llm", "layers", "mlp", "down", "w"), 1),
+            ("model.mm_projector.2.weight",
+             ("vlm", "projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+    # the reference ties lm_head to embed_tokens (outer-config
+    # tie_word_embeddings=True), so its single grad is the SUM of our
+    # separate input-embedding and lm-head grads
+    tied = (_leaf(our_g, ("vlm", "llm", "embed", "embedding"))
+            + _leaf(our_g, ("vlm", "llm", "lm_head", "w")).T)
+    np.testing.assert_allclose(
+        tied, ref_g["model.llm.embed_tokens.weight"], atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid CogACT: has_text/has_action mixed-batch gating — text CE over
+# has_text rows (zeroed when none) + per-sample diffusion MSE weighted by
+# has_action with a +1e-6 denominator (hybrid_cogact_arch.py:126-198)
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_cogact_training_parity(ref_env, clip_dir):
+    from dexbotic.model.cogact.hybrid_cogact_arch import CogActConfig as RefCfg
+    from dexbotic.model.cogact.hybrid_cogact_arch import HybridCogACTForCausalLM
+
+    from dexbotic_tpu.models.cogact import CogActConfig, cogact_loss
+    from dexbotic_tpu.utils.convert import attach_lm_head, convert_cogact
+
+    cfg_r = RefCfg(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu", action_model_type="DiT-S",
+        action_dim=7, chunk_size=4,
+    )
+    torch.manual_seed(71)
+    ref = HybridCogACTForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(72)
+    B, rep = 2, 4
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13],
+                        [1, 5, IMAGE_TOKEN_INDEX, 21, 23, 2]])
+    labels_ref = np.full_like(ids_ref, -100)
+    labels_ref[:, 3:] = ids_ref[:, 3:]
+    amask = np.ones((B, 6), bool)
+    img = rs.randn(B, 3, 28, 28).astype(np.float32)
+    actions = rs.randn(B, 6, 7).astype(np.float32)
+    has_text = np.array([1.0, 0.0], np.float32)  # row 1 is action-only
+    has_action = np.array([0.0, 1.0], np.float32)  # row 0 is text-only
+    t_pin = rs.randint(0, 100, (B * rep,)).astype(np.int64)
+    noise_pin = rs.randn(B * rep, 4, 7).astype(np.float32)
+
+    orig_rl, orig_ri = torch.randn_like, torch.randint
+    torch.randn_like = lambda x, **k: torch.tensor(noise_pin).to(x.dtype)
+    torch.randint = lambda *a, **k: torch.tensor(t_pin)
+    try:
+        out = ref(
+            input_ids=torch.tensor(ids_ref),
+            attention_mask=torch.tensor(amask),
+            images=torch.tensor(img),
+            actions=torch.tensor(actions),
+            labels=torch.tensor(labels_ref),
+            has_text=torch.tensor(has_text),
+            has_action=torch.tensor(has_action),
+            repeated_diffusion_steps=rep,
+        )
+    finally:
+        torch.randn_like, torch.randint = orig_rl, orig_ri
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.llm.embed_tokens.weight",  # TIED to lm_head (outer config)
+        "model.action_head.net.final_layer.linear.weight",
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.0.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+    text_ref = float(out.text_loss.detach())
+    action_ref = float(out.action_loss.detach())
+
+    cfg = CogActConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"),
+        action_model_type="DiT-S", action_dim=7, chunk_size=4,
+    )
+    sd = _sd(ref)
+    params = convert_cogact(sd, cfg)
+    params["vlm"]["llm"] = attach_lm_head(params["vlm"]["llm"], sd)
+    nt = cfg.vlm.num_image_tokens
+    ids = jnp.asarray([
+        [1, 7] + [IMAGE_TOKEN_INDEX] * nt + [9, 11, 13],
+        [1, 5] + [IMAGE_TOKEN_INDEX] * nt + [21, 23, 2],
+    ])
+    labels = jnp.asarray([
+        [1, 7] + [-100] * nt + [9, 11, 13],
+        [1, 5] + [-100] * nt + [21, 23, 2],
+    ])
+    labels = labels.at[:, :2].set(-100)  # prompt region masked as in ref
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        "actions": jnp.asarray(actions),
+        "labels": labels,
+        "has_text": jnp.asarray(has_text),
+        "has_action": jnp.asarray(has_action),
+    }
+
+    def loss_fn(p):
+        loss, m = cogact_loss(
+            p, cfg, batch, jax.random.PRNGKey(0), with_text_loss=True,
+            diffusion_t=jnp.asarray(t_pin, jnp.int32),
+            diffusion_noise=jnp.asarray(noise_pin),
+        )
+        return loss, m
+
+    (loss, metrics), our_g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    np.testing.assert_allclose(float(metrics["text_loss"]), text_ref, atol=ATOL)
+    np.testing.assert_allclose(float(metrics["action_loss"]), action_ref, atol=ATOL)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.action_head.net.final_layer.linear.weight",
+             ("action_head", "final", "w"), None),
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.0.weight",
+             ("vlm", "projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+    # tied lm_head/embed (see NaVILA test): ref grad = our embed + lm_head.T
+    tied = (_leaf(our_g, ("vlm", "llm", "embed", "embedding"))
+            + _leaf(our_g, ("vlm", "llm", "lm_head", "w")).T)
+    np.testing.assert_allclose(
+        tied, ref_g["model.llm.embed_tokens.weight"], atol=ATOL)
