@@ -242,6 +242,11 @@ class DataConfig(Config):
     images_keys: Optional[list] = None
     shuffle: bool = True
     seed: int = 42
+    # parallel host decode (reference: DataLoader num_workers, TrainingArgs
+    # dataloader_num_workers=64, exp/base_exp.py:453-503).  0 = in-line
+    # sequential fetch; >0 = data.loader.DataLoader with this many workers.
+    num_workers: int = 0
+    worker_mode: str = "thread"  # 'thread' | 'process' (forked decode procs)
 
     _PROCESSORS = {
         "clip_336": ImageProcessorConfig.clip_336(),
@@ -433,14 +438,29 @@ class BaseExp:
             * trainer.mesh.shape["data"]
             * self.trainer.gradient_accumulation_steps
         )
-        it = data_iterator(
-            dataset,
-            collator,
-            batch_size,
-            seed=self.trainer.seed,
-            process_id=jax.process_index(),
-            process_count=jax.process_count(),
-        )
+        if self.data.num_workers > 0:
+            from dexbotic_tpu.data.loader import DataLoader
+
+            it = iter(DataLoader(
+                dataset,
+                collator,
+                batch_size,
+                num_workers=self.data.num_workers,
+                worker_mode=self.data.worker_mode,
+                seed=self.trainer.seed,
+                epochs=10**6,
+                process_id=jax.process_index(),
+                process_count=jax.process_count(),
+            ))
+        else:
+            it = data_iterator(
+                dataset,
+                collator,
+                batch_size,
+                seed=self.trainer.seed,
+                process_id=jax.process_index(),
+                process_count=jax.process_count(),
+            )
         return trainer.train(it)
 
     def compute_norm_stats(self):

@@ -23,6 +23,11 @@ class HybridActionConfig(base_exp.ActionConfig):
     empty_action_dim: int = 112  # chunk * action_dim fallback shape
 
     def build_action_process_func(self) -> T.Pipeline:
+        """Reference order (exp/hybrid_cogact_exp.py:82-106): actions are
+        NOT stringified into answers (add_answer=False), ReplaceAnswer marks
+        answer-less (robot) rows has_text=0, and the flag transforms run on
+        the SELECTED FRAME dict — the empty-action placeholder must be the
+        per-frame [chunk*dim] vector."""
         stats = self._read_norm_stats(self.statistic_mapping)
         return T.Pipeline(
             [
@@ -37,14 +42,15 @@ class HybridActionConfig(base_exp.ActionConfig):
                 ),
                 T.ActionNormAnd2String(
                     statistic_mapping=stats, vocab_size=self.vocab_size,
-                    string_format=self.string_format,
+                    string_format=self.string_format, add_answer=False,
                 ),
                 LoadMultiModal(),
                 T.AddPromptTemplate(prompt_template=self.prompt_template),
+                T.ReplaceAnswer(default_answer=self.replace_with_default_answer),
+                T.ToConversation(),
+                T.ToList(select_frame=True),
                 T.AddActionFlag(np.zeros((self.empty_action_dim,), np.float32)),
                 T.AddTextFlag(),
-                T.ReplaceAnswer(default_answer=self.replace_with_default_answer),
-                T.ToList(),
             ]
         )
 

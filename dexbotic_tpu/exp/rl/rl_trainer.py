@@ -234,11 +234,14 @@ def rl_policy_loss(
     grpo_cfg: GRPOConfig,
     batch: dict,
     temperature: float = 1.0,
+    remat: bool = True,
 ):
-    """PPO-clip + entropy on recomputed log-probs (rl_trainer.py:537-735)."""
+    """PPO-clip + entropy on recomputed log-probs (rl_trainer.py:537-735).
+    remat defaults ON — the reference's RL fine-tune always runs gradient
+    checkpointing (docs/RL.md), and a 1b actor OOMs one v5e without it."""
     logp, entropy = oft_action_log_probs(
         params, oft_cfg, batch["input_ids"], batch["prompt_valid"], batch["images"],
-        batch.get("states"), batch["bins"], temperature=temperature,
+        batch.get("states"), batch["bins"], temperature=temperature, remat=remat,
     )
     mask = batch["token_mask"].astype(jnp.float32)
     pg_loss, clip_frac, approx_kl = ppo_clip_loss(
@@ -304,7 +307,7 @@ class GRPOUpdater:
 
     def __init__(self, oft_cfg: OFTConfig, grpo_cfg: GRPOConfig, params,
                  learning_rate: float = 1e-6, max_grad_norm: float = 1.0,
-                 temperature: float = 1.0, mesh=None):
+                 temperature: float = 1.0, mesh=None, remat: bool = True):
         self.oft_cfg = oft_cfg
         self.grpo_cfg = grpo_cfg
         self.temperature = temperature
@@ -316,7 +319,8 @@ class GRPOUpdater:
 
         def step(params, opt_state, batch):
             (loss, metrics), grads = jax.value_and_grad(
-                lambda p: rl_policy_loss(p, oft_cfg, grpo_cfg, batch, self.temperature),
+                lambda p: rl_policy_loss(p, oft_cfg, grpo_cfg, batch,
+                                         self.temperature, remat=remat),
                 has_aux=True,
             )(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)

@@ -156,8 +156,9 @@ def init_oft(key, cfg: OFTConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def _prompt_embeds(params, cfg: OFTConfig, input_ids, valid, images):
-    feats = encode_images(params["vlm"], cfg.vlm, images)
+def _prompt_embeds(params, cfg: OFTConfig, input_ids, valid, images,
+                   remat: bool = False):
+    feats = encode_images(params["vlm"], cfg.vlm, images, remat=remat)
     return splice_image_embeds(params["vlm"], cfg.vlm, input_ids, feats)
 
 
@@ -183,7 +184,8 @@ def _action_segment(params, cfg: OFTConfig, B, dtype, states, noisy=None, time_e
     return seg
 
 
-def _run_with_segment(params, cfg, prompt_embeds, prompt_valid, segment, cache=None):
+def _run_with_segment(params, cfg, prompt_embeds, prompt_valid, segment,
+                      cache=None, remat=False):
     """Append segment after the padded prompt; return hidden at segment
     positions.  cache!=None: prompt is already prefilled -> run segment only."""
     B, A = segment.shape[0], segment.shape[1]
@@ -197,7 +199,7 @@ def _run_with_segment(params, cfg, prompt_embeds, prompt_valid, segment, cache=N
         pos = grp - 1
         outs, _ = mot_forward(
             [Stream(cfg.vlm.llm, params["vlm"]["llm"], embeds)],
-            positions=pos, q_grp=grp, q_valid=valid,
+            positions=pos, q_grp=grp, q_valid=valid, remat=remat,
         )
         return outs[0][:, -A:]
     # segment-only against frozen prompt cache
@@ -379,14 +381,18 @@ def oft_generate_action(
 
 
 def oft_action_log_probs(
-    params, cfg: OFTConfig, input_ids, valid, images, states, bins, temperature: float = 1.0
+    params, cfg: OFTConfig, input_ids, valid, images, states, bins,
+    temperature: float = 1.0, remat: bool = False,
 ):
     """Log-probs (and entropy) of given bin actions under current params —
-    the RL recompute-logprob path (exp/rl/rl_trainer.py:265-736)."""
+    the RL recompute-logprob path (exp/rl/rl_trainer.py:265-736).  remat
+    checkpoints the tower+decoder forward: without it the PPO backward
+    stashes every ViT layer's activations (a 1b actor at micro-batch 8 /
+    so400m-224 OOMs one v5e on exactly those buffers)."""
     B = input_ids.shape[0]
-    prompt = _prompt_embeds(params, cfg, input_ids, valid, images)
+    prompt = _prompt_embeds(params, cfg, input_ids, valid, images, remat=remat)
     seg = _action_segment(params, cfg, B, prompt.dtype, states)
-    hid = _run_with_segment(params, cfg, prompt, valid, seg)
+    hid = _run_with_segment(params, cfg, prompt, valid, seg, remat=remat)
     if cfg.use_proprio:
         hid = hid[:, 1:]
     logits = lm_logits(params["vlm"]["llm"], cfg.vlm.llm, hid).astype(jnp.float32)

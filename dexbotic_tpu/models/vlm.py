@@ -54,14 +54,15 @@ def init_vlm(key, cfg: VLMConfig, dtype=jnp.float32):
     }
 
 
-def encode_images(params, cfg: VLMConfig, images: jnp.ndarray) -> jnp.ndarray:
+def encode_images(params, cfg: VLMConfig, images: jnp.ndarray,
+                  remat: bool = False) -> jnp.ndarray:
     """[B, n, H, W, 3] or [B, H, W, 3] -> [B, n*T, llm_hidden]."""
     squeeze = images.ndim == 4
     if squeeze:
         images = images[:, None]
     B, n = images.shape[:2]
     flat = images.reshape((B * n,) + images.shape[2:])
-    feats = vit_forward(params["vit"], cfg.vit, flat)
+    feats = vit_forward(params["vit"], cfg.vit, flat, remat=remat)
     feats = apply_projector(params["projector"], feats, cfg.projector_type)
     return feats.reshape(B, -1, feats.shape[-1])
 
@@ -112,7 +113,7 @@ def vlm_forward(
         )
     if inputs_embeds is None:
         if images is not None:
-            feats = encode_images(params, cfg, images)
+            feats = encode_images(params, cfg, images, remat=remat)
             inputs_embeds = splice_image_embeds(params, cfg, input_ids, feats)
         else:
             inputs_embeds = embed_tokens(params["llm"], cfg.llm, input_ids)

@@ -133,11 +133,15 @@ def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
     return x.reshape(B, h * w, patch * patch * C)
 
 
-def vit_forward(params, cfg: ViTConfig, images: jnp.ndarray) -> jnp.ndarray:
+def vit_forward(params, cfg: ViTConfig, images: jnp.ndarray,
+                remat: bool = False) -> jnp.ndarray:
     """Encode images [B, H, W, 3] (already normalized) -> [B, N, hidden].
 
     Respects cfg.select_layer / drop_cls exactly as the reference's
     feature_select (siglip_encoder.py:61-65, clip_encoder.py:31-36).
+    remat checkpoints each scan layer: a trained so400m tower's backward
+    otherwise stashes every layer's attention/MLP internals
+    ([27, B, 256, 1152]-shaped temps — what OOMed the 1b RL update).
     """
     B = images.shape[0]
     x = core.linear(params["patch_embed"], patchify(images, cfg.patch_size))
@@ -174,7 +178,7 @@ def vit_forward(params, cfg: ViTConfig, images: jnp.ndarray) -> jnp.ndarray:
         return x1 + m, None
 
     layers = jax.tree.map(lambda p: p[:n_layers], params["layers"])
-    x, _ = jax.lax.scan(body, x, layers)
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, layers)
 
     if cfg.select_layer is None:
         x = layer_norm(x, params["post_ln"]["w"], params["post_ln"]["b"], cfg.ln_eps)

@@ -69,7 +69,9 @@ def main():
         data=base_exp.DataConfig(image_processor=img),
         env=RLEnvConfig(
             env_type="mock", task_names=("lift", "stack"), num_envs=8,
-            max_episode_steps=32, obs_dim=(size, size, 3),
+            # finish below the rollout budget so episodes complete (mock
+            # success fires at max_steps with p=0.5) instead of truncating
+            max_episode_steps=24, obs_dim=(size, size, 3),
         ),
         rl_data=RLDataLoaderConfig(n_samples=4),
         rollout=RolloutConfig(max_env_steps=32, chunk_steps=8,
@@ -88,7 +90,9 @@ def main():
 
     params, history = exp.train_rl()
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    steps = [h for h in history]
+    # step 0 carries the jit compiles (minutes through the axon tunnel);
+    # report the warm steady state when we have it
+    steps = history[1:] if len(history) > 1 else history
     summary = {
         "metric": f"grpo_{scale}_iteration_wall_s",
         "value": round(sum(
