@@ -1008,3 +1008,344 @@ def test_hybrid_cogact_training_parity(ref_env, clip_dir):
             + _leaf(our_g, ("vlm", "llm", "lm_head", "w")).T)
     np.testing.assert_allclose(
         tied, ref_g["model.llm.embed_tokens.weight"], atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# pi0.5: adaRMS-gated flow-matching loss + grads (Beta time pinned;
+# pi05_arch.py:129-151,293-332).  DM0-Prog's progress head is
+# inference-only (dm0_prog_arch.py:4), so DM0's pin covers its training.
+# ---------------------------------------------------------------------------
+
+
+def test_pi05_training_parity(ref_env, siglip_dir):
+    import dataclasses
+
+    from dexbotic.model.pi05 import pi05_arch
+    from dexbotic.model.pi05.transformers_pi05.gemma.configuration_gemma import (
+        AdaRMSGemmaConfig,
+    )
+
+    from dexbotic_tpu.models.flow_vla import flow_vla_loss, pi05_config
+    from dexbotic_tpu.utils.convert import convert_flow_vla
+
+    pi05_arch.DynamicCache = CompatCache
+    llm_cfg = AdaRMSGemmaConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=128, max_position_embeddings=256, rms_norm_eps=1e-6,
+        attention_dropout=0.0, tie_word_embeddings=True, use_adarms=False,
+    )
+    exp_cfg = AdaRMSGemmaConfig(
+        vocab_size=8, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=64, max_position_embeddings=256, rms_norm_eps=1e-6,
+        attention_dropout=0.0, use_adarms=True, adarms_cond_dim=32, width=32,
+    )
+    cfg_r = pi05_arch.Pi05Config(
+        llm_config=llm_cfg, mm_vision_tower=siglip_dir, action_config=exp_cfg,
+        mm_projector_type="linear", action_dim=8, chunk_size=5,
+    )
+    torch.manual_seed(73)
+    ref = pi05_arch.Pi05ForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(74)
+    B = 2
+    ids = rs.randint(1, 500, (B, 6))
+    amask = np.ones((B, 6), bool)
+    images = rs.randn(B, 2, 3, 28, 28).astype(np.float32)
+    image_masks = np.array([[True, True], [True, False]])
+    actions = rs.randn(B, 5, 8).astype(np.float32)
+    noise_pin = rs.randn(B, 5, 8).astype(np.float32)
+    beta_pin = rs.beta(1.5, 1.0, (B,)).astype(np.float32)
+
+    class _PinnedBeta:
+        def __init__(self, *a, **k):
+            pass
+
+        def sample(self, shape):
+            return torch.tensor(beta_pin[: shape[0]])
+
+    orig_normal, orig_beta = torch.normal, torch.distributions.Beta
+    torch.normal = lambda *a, **k: torch.tensor(noise_pin)
+    torch.distributions.Beta = _PinnedBeta
+    try:
+        out = ref(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(amask),
+            images=torch.tensor(images),
+            image_masks=torch.tensor(image_masks),
+            actions=torch.tensor(actions),
+        )
+    finally:
+        torch.normal, torch.distributions.Beta = orig_normal, orig_beta
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.action_out_proj.weight",
+        "model.action_in_proj.weight",
+        "model.time_mlp_in.weight",
+        "model.action_expert.layers.0.self_attn.q_proj.weight",
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    expert = dataclasses.replace(GEMMA_EXPERT_T, adarms_cond_dim=32)
+    cfg = pi05_config(GEMMA_T, expert, SIGLIP_T, action_dim=8, chunk_size=5,
+                      projector_type="linear")
+    params = convert_flow_vla(_sd(ref), cfg)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(amask, jnp.int32),
+        "images": jnp.asarray(images.transpose(0, 1, 3, 4, 2)),
+        "image_masks": jnp.asarray(image_masks, jnp.int32),
+        "actions": jnp.asarray(actions),
+    }
+    time_pin = beta_pin * 0.999 + 0.001
+
+    def loss_fn(p):
+        return flow_vla_loss(
+            p, cfg, batch, jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise_pin), time=jnp.asarray(time_pin),
+        )[0]
+
+    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.action_out_proj.weight", ("action_out_proj", "w"), None),
+            ("model.action_in_proj.weight", ("action_in_proj", "w"), None),
+            ("model.time_mlp_in.weight", ("time_mlp_in", "w"), None),
+            ("model.action_expert.layers.0.self_attn.q_proj.weight",
+             ("expert", "layers", "attn", "q", "w"), 0),
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.weight",
+             ("vlm", "projector", "fc", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete VLA: plain next-token CE over the action-string answer
+# (DexboticForCausalLM.forward, dexbotic_arch.py:483-488)
+# ---------------------------------------------------------------------------
+
+
+def test_discrete_vla_training_parity(ref_env, clip_dir):
+    from dexbotic.model.dexbotic_arch import DexboticConfig
+    from dexbotic.model.discrete_vla.discrete_vla_arch import DiscreteVLAForCausalLM
+
+    from dexbotic_tpu.models.discrete_vla import DiscreteVLAConfig, discrete_vla_loss
+    from dexbotic_tpu.utils.convert import (
+        attach_lm_head, convert_llm, convert_projector, convert_vit,
+    )
+
+    cfg_r = DexboticConfig(
+        llm_config=_llama_hf(), mm_vision_tower=clip_dir,
+        mm_projector_type="mlp2x_gelu",
+    )
+    torch.manual_seed(75)
+    ref = DiscreteVLAForCausalLM(cfg_r).eval().float()
+
+    rs = np.random.RandomState(76)
+    B = 2
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13, 30, 40],
+                        [1, 5, IMAGE_TOKEN_INDEX, 21, 23, 2, 50, 60]])
+    labels_ref = np.full_like(ids_ref, -100)
+    labels_ref[:, 4:] = ids_ref[:, 4:]
+    amask = np.ones(ids_ref.shape, bool)
+    img = rs.randn(B, 3, 28, 28).astype(np.float32)
+
+    out = ref(
+        input_ids=torch.tensor(ids_ref), attention_mask=torch.tensor(amask),
+        images=torch.tensor(img), labels=torch.tensor(labels_ref),
+    )
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "model.llm.embed_tokens.weight",  # TIED to lm_head (outer config)
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.0.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    cfg = DiscreteVLAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=CLIP_T, projector_type="mlp2x_gelu"))
+    sd = _sd(ref)
+    params = {"vlm": {
+        "llm": attach_lm_head(
+            convert_llm(sd, cfg.vlm.llm, prefix="model.llm."), sd),
+        "vit": convert_vit(
+            sd, cfg.vlm.vit,
+            prefix="model.mm_vision_tower.vision_tower.vision_model."),
+        "projector": convert_projector(
+            sd, "mlp2x_gelu", prefix="model.mm_projector."),
+    }}
+    nt = cfg.vlm.num_image_tokens
+    ids = jnp.asarray([
+        [1, 7] + [IMAGE_TOKEN_INDEX] * nt + [9, 11, 13, 30, 40],
+        [1, 5] + [IMAGE_TOKEN_INDEX] * nt + [21, 23, 2, 50, 60],
+    ])
+    labels = jnp.asarray([
+        [-100, -100] + [-100] * nt + [-100, 11, 13, 30, 40],
+        [-100, -100] + [-100] * nt + [-100, 23, 2, 50, 60],
+    ])
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
+        "labels": labels,
+    }
+    loss, our_g = jax.value_and_grad(
+        lambda p: discrete_vla_loss(p, cfg, batch)[0]
+    )(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("vlm", "llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.0.weight",
+             ("vlm", "projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+    tied = (_leaf(our_g, ("vlm", "llm", "embed", "embedding"))
+            + _leaf(our_g, ("vlm", "llm", "lm_head", "w")).T)
+    np.testing.assert_allclose(
+        tied, ref_g["model.llm.embed_tokens.weight"], atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# MUVLA: reward-weighted CE + expectile(0.9) reward regression
+# (muvla_arch.py:554-592) — deterministic, no pins needed
+# ---------------------------------------------------------------------------
+
+
+def test_muvla_training_parity(ref_env, tmp_path):
+    import dataclasses
+
+    from transformers import CLIPImageProcessor, CLIPVisionConfig, CLIPVisionModel
+
+    from dexbotic.model.muvla import muvla_arch
+
+    from dexbotic_tpu.models.muvla import MUVLAConfig, fuse_obs_with_history, muvla_loss
+    from dexbotic_tpu.utils.convert import convert_muvla
+
+    # 48px/patch-2 -> a 24x24 = 576-token grid: the reference hardcodes
+    # `reshape(B, T_hist * 576, -1)` for the history path
+    # (muvla_arch.py:239-241, CLIP-L geometry), so the tiny tower must
+    # emit exactly 576 patch tokens for the qformer leg to run unpatched.
+    d = tmp_path / "tiny-clip64-vit"
+    torch.manual_seed(77)
+    CLIPVisionModel(CLIPVisionConfig(
+        image_size=48, patch_size=2, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128, projection_dim=64,
+    )).save_pretrained(d)
+    CLIPImageProcessor(crop_size=48, size=48).save_pretrained(d)
+    llm_dir = tmp_path / "tiny-llama-cfg"
+    _llama_hf().save_pretrained(llm_dir)
+
+    cfg_r = muvla_arch.MUVLAConfig(
+        llm_config=str(llm_dir), mm_vision_tower=str(d),
+        obs_vision_tower=str(d), mm_projector_type="mlp2x_gelu",
+    )
+    torch.manual_seed(78)
+    ref = muvla_arch.MUVLAForCausalLM(cfg_r).eval().float()
+    # re-instantiate the fuser/qformer at the tiny tower width (the
+    # reference hardcodes CLIP-L widths, muvla_arch.py:140-150)
+    torch.manual_seed(79)
+    ref.model.fuser = muvla_arch.CrossFuseReduce(inter_dim=64, fuse_len=1).float()
+    ref.model.history_qformer = muvla_arch.SimpleQFormer(
+        input_dim=64, hidden_dim=64, num_queries=8).float()
+
+    clip64_t = dataclasses.replace(CLIP_T, hidden_size=64, intermediate_size=128,
+                                   image_size=48, patch_size=2)
+    cfg = MUVLAConfig(
+        vlm=VLMConfig(llm=LLAMA_T, vit=clip64_t, projector_type="mlp2x_gelu"),
+        obs_vit=clip64_t, inter_dim=64, num_history_queries=8,
+    )
+    params = convert_muvla(_sd(ref), cfg)
+
+    rs = np.random.RandomState(80)
+    B = 2
+    map_img = rs.randn(B, 3, 48, 48).astype(np.float32)
+    obs_img = rs.randn(B, 3, 48, 48).astype(np.float32)
+    obs_hist = rs.randn(B, 3, 48, 48).astype(np.float32)
+    reward = np.array([0.3, 0.8], np.float32)
+    obs_stack = np.stack([obs_img, obs_hist], axis=1)  # current + 1 history
+
+    # fused token count comes from our own helper; the reference expands its
+    # single <image> placeholder to the same count
+    tokens = fuse_obs_with_history(
+        params, cfg,
+        jnp.asarray(map_img.transpose(0, 2, 3, 1)),
+        jnp.asarray(obs_stack.transpose(0, 1, 3, 4, 2)),
+    )
+    n_fused = tokens.shape[1]
+
+    ids_ref = np.array([[1, 7, IMAGE_TOKEN_INDEX, 9, 11, 13],
+                        [1, 5, IMAGE_TOKEN_INDEX, 21, 23, 2]])
+    labels_ref = np.full_like(ids_ref, -100)
+    labels_ref[:, 3:] = ids_ref[:, 3:]
+    amask = np.ones(ids_ref.shape, bool)
+    # [B, 3, C, H, W]: images[:,0]=map, images[:,1]=obs current,
+    # images[:,2]=obs history (muvla_arch.py:267-270)
+    images = np.stack([map_img, obs_img, obs_hist], axis=1)
+
+    out = ref(
+        input_ids=torch.tensor(ids_ref), attention_mask=torch.tensor(amask),
+        images=torch.tensor(images), labels=torch.tensor(labels_ref),
+        reward=torch.tensor(reward),
+    )
+    out.loss.backward()
+
+    GRAD_NAMES = [
+        "reward_head.weight",
+        "model.history_qformer.query_embeddings",
+        "model.fuser.cross_attn.out_proj.weight",
+        "model.llm.layers.0.self_attn.q_proj.weight",
+        "model.mm_projector.0.weight",
+    ]
+    ref_g = _ref_grads(ref, GRAD_NAMES)
+    loss_ref = float(out.loss.detach())
+
+    ids = jnp.asarray([
+        [1, 7] + [IMAGE_TOKEN_INDEX] * n_fused + [9, 11, 13],
+        [1, 5] + [IMAGE_TOKEN_INDEX] * n_fused + [21, 23, 2],
+    ])
+    labels = jnp.asarray([
+        [-100, -100] + [-100] * n_fused + [9, 11, 13],
+        [-100, -100] + [-100] * n_fused + [21, 23, 2],
+    ])
+    batch = {
+        "input_ids": ids,
+        "attention_mask": jnp.ones(ids.shape, jnp.int32),
+        "labels": labels,
+        "map_images": jnp.asarray(map_img.transpose(0, 2, 3, 1)),
+        "obs_images": jnp.asarray(obs_stack.transpose(0, 1, 3, 4, 2)),
+        "reward": jnp.asarray(reward),
+    }
+    (loss, metrics), our_g = jax.value_and_grad(
+        lambda p: muvla_loss(p, cfg, batch), has_aux=True
+    )(params)
+    np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
+    _check_grads(
+        [
+            ("reward_head.weight", ("reward_head", "w"), None),
+            ("model.fuser.cross_attn.out_proj.weight",
+             ("fuser", "attn", "o", "w"), None),
+            ("model.llm.layers.0.self_attn.q_proj.weight",
+             ("llm", "layers", "attn", "q", "w"), 0),
+            ("model.mm_projector.0.weight",
+             ("projector", "fc0", "w"), None),
+        ],
+        ref_g, our_g,
+    )
+    # qformer queries: [Q, D] on both sides, no transpose
+    np.testing.assert_allclose(
+        _leaf(our_g, ("qformer", "queries")),
+        ref_g["model.history_qformer.query_embeddings"], atol=ATOL)
