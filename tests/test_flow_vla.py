@@ -62,9 +62,11 @@ def test_loss_and_grads(name):
         "images": images, "image_masks": image_masks, "input_ids": ids,
         "attention_mask": tmask, "states": states, "actions": actions,
     }
-    loss, metrics = flow_vla_loss(params, cfg, batch, jax.random.PRNGKey(1))
+    # jitted value_and_grad: loss asserts + grad-flow in one compile
+    (loss, metrics), g = jax.jit(jax.value_and_grad(
+        lambda p: flow_vla_loss(p, cfg, batch, jax.random.PRNGKey(1)),
+        has_aux=True))(params)
     assert np.isfinite(float(loss))
-    g = jax.grad(lambda p: flow_vla_loss(p, cfg, batch, jax.random.PRNGKey(1))[0])(params)
     gn = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), g))
     assert np.isfinite(gn) and gn > 0
 

@@ -51,8 +51,9 @@ def test_bank_fill_and_tome_merge():
     state = init_mem_state(CFG, batch=2)
     per = jax.random.normal(jax.random.PRNGKey(1), (2, CFG.num_per_tokens, 16))
     cog = jax.random.normal(jax.random.PRNGKey(2), (2, 1, CFG.vlm.llm.hidden_size))
+    bstep = jax.jit(lambda st, t: bank_step(p, CFG, st, per, cog, t))
     for t in range(5):  # exceed mem_length=3 -> ToMe merges
-        per_f, cog_f, state = bank_step(p, CFG, state, per, cog, jnp.full((2,), float(t)))
+        per_f, cog_f, state = bstep(state, jnp.full((2,), float(t)))
     assert int(state["per"]["count"][0]) == 3
     assert int(state["cog"]["count"][0]) == 3
     # merged times are averages -> not all integers
@@ -72,8 +73,9 @@ def test_reset_mem_rows():
 def test_memvla_loss_and_state_threading():
     p = init_memvla(jax.random.PRNGKey(0), CFG)
     state = init_mem_state(CFG, batch=2)
+    lf = jax.jit(lambda batch, st, key: memvla_loss(p, CFG, batch, st, key))
     for t in range(3):
-        loss, m, state = memvla_loss(p, CFG, _batch(t=t), state, jax.random.PRNGKey(t))
+        loss, m, state = lf(_batch(t=t), state, jax.random.PRNGKey(t))
         assert np.isfinite(float(loss))
     assert int(state["cog"]["count"][0]) == 3
 
@@ -87,7 +89,8 @@ def test_memvla_grads():
         loss, _, _ = memvla_loss(pp, CFG, _batch(), state, jax.random.PRNGKey(1))
         return loss
 
-    g = jax.grad(lf)(p)
+    # jitted: eager reverse-AD dispatches op-by-op on this 1-core host
+    g = jax.jit(jax.grad(lf))(p)
     gn = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), g))
     assert np.isfinite(gn) and gn > 0
 
@@ -105,22 +108,19 @@ def test_memvla_inference_memory_changes_actions():
     )
     b = _batch(B=1)
     state = init_mem_state(CFG, batch=1)
-    a1, state = memvla_inference_action(
-        p, CFG, b["input_ids"], b["attention_mask"], b["images"], state,
-        jnp.zeros((1,)), jax.random.PRNGKey(5),
-    )
+    # one jitted step reused for all four calls (same shapes -> one compile)
+    step = jax.jit(lambda ids, am, imgs, st, t: memvla_inference_action(
+        p, CFG, ids, am, imgs, st, t, jax.random.PRNGKey(5)))
+    a1, state = step(b["input_ids"], b["attention_mask"], b["images"], state,
+                     jnp.zeros((1,)))
     assert a1.shape == (1, 4, 3)
     # feed different frames to populate memory
     for t in range(1, 3):
         bt = _batch(B=1, t=t)
-        _, state = memvla_inference_action(
-            p, CFG, bt["input_ids"], bt["attention_mask"], bt["images"], state,
-            jnp.full((1,), float(t)), jax.random.PRNGKey(5),
-        )
-    a2, _ = memvla_inference_action(
-        p, CFG, b["input_ids"], b["attention_mask"], b["images"], state,
-        jnp.full((1,), 3.0), jax.random.PRNGKey(5),
-    )
+        _, state = step(bt["input_ids"], bt["attention_mask"], bt["images"],
+                        state, jnp.full((1,), float(t)))
+    a2, _ = step(b["input_ids"], b["attention_mask"], b["images"], state,
+                 jnp.full((1,), 3.0))
     assert np.abs(np.asarray(a1) - np.asarray(a2)).max() > 1e-5
 
 
@@ -172,16 +172,16 @@ def test_bank_step_sequential_matches_rowwise():
     ts = jnp.asarray([0.0, 1.0, 0.0, 1.0])
     resets = jnp.asarray([True, False, True, False])  # new episode at row 2
 
-    per_f, cog_f, st = bank_step_sequential(p, CFG, init_mem_state(CFG, 1),
-                                            per, cog, ts, resets)
+    per_f, cog_f, st = jax.jit(lambda st0: bank_step_sequential(
+        p, CFG, st0, per, cog, ts, resets))(init_mem_state(CFG, 1))
 
+    bstep = jax.jit(lambda st, pe, co, t: bank_step(p, CFG, st, pe, co, t))
     st2 = init_mem_state(CFG, 1)
     outs = []
     for i in range(B):
         if bool(resets[i]):
             st2 = reset_mem_rows(st2, jnp.ones((1,), bool))
-        pf, cf, st2 = bank_step(p, CFG, st2, per[i][None], cog[i][None],
-                                ts[i][None])
+        pf, cf, st2 = bstep(st2, per[i][None], cog[i][None], ts[i][None])
         outs.append((pf[0], cf[0]))
     np.testing.assert_allclose(np.asarray(per_f),
                                np.stack([o[0] for o in outs]), atol=1e-5)
@@ -191,8 +191,8 @@ def test_bank_step_sequential_matches_rowwise():
     assert int(np.asarray(st["cog"]["count"])[0]) == 2
 
     # within-batch memory is real: row 1 fused != its bank-free fusion
-    pf0, cf0, _ = bank_step(p, CFG, init_mem_state(CFG, 1), per[1][None],
-                            cog[1][None], ts[1][None])
+    pf0, cf0, _ = bstep(init_mem_state(CFG, 1), per[1][None],
+                        cog[1][None], ts[1][None])
     assert float(np.abs(np.asarray(cog_f)[1] - np.asarray(cf0[0])).max()) > 1e-6
 
 
@@ -200,13 +200,13 @@ def test_memvla_loss_sequential_bank():
     p = init_memvla(jax.random.PRNGKey(0), CFG)
     batch = _batch(B=2)
     batch["episode_reset"] = jnp.asarray([True, False])
-    loss, metrics, st = memvla_loss(p, CFG, batch, init_mem_state(CFG, 1),
-                                    jax.random.PRNGKey(1), sequential_bank=True)
+    # one jitted value_and_grad: loss/state checks and grad-flow from a
+    # single compile (persistent-cache-warm)
+    (loss, (metrics, st)), g = jax.jit(jax.value_and_grad(
+        lambda q: (lambda l, m, s: (l, (m, s)))(*memvla_loss(
+            q, CFG, batch, init_mem_state(CFG, 1), jax.random.PRNGKey(1),
+            sequential_bank=True)), has_aux=True))(p)
     assert np.isfinite(float(loss))
     assert int(np.asarray(st["per"]["count"])[0]) == 2
-    # gradients flow through the sequential path
-    g = jax.grad(lambda q: memvla_loss(q, CFG, batch, init_mem_state(CFG, 1),
-                                       jax.random.PRNGKey(1),
-                                       sequential_bank=True)[0])(p)
     gn = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gn) and gn > 0

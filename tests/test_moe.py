@@ -102,7 +102,7 @@ def test_transformer_moe_forward_and_grads():
         logits = lm_logits(params, MOE_CFG, outs[0])
         return jnp.mean(logits**2) + 0.01 * aux["moe_aux"]
 
-    val, grads = jax.value_and_grad(loss)(p)
+    val, grads = jax.jit(jax.value_and_grad(loss))(p)
     assert np.isfinite(float(val))
     g_router = np.asarray(grads["layers"]["mlp"]["router"]["w"])
     g_exp = np.asarray(grads["layers"]["mlp"]["down"]["w"])

@@ -52,12 +52,15 @@ def test_fusion_no_history():
 
 def test_muvla_loss_reward_weighting_and_expectile():
     p = init_muvla(jax.random.PRNGKey(0), CFG)
-    loss, m = muvla_loss(p, CFG, _batch(), jax.random.PRNGKey(1))
+    # jitted value_and_grad: loss asserts + grad-flow in one compile
+    (loss, m), g = jax.jit(jax.value_and_grad(
+        lambda pp: muvla_loss(pp, CFG, _batch(), jax.random.PRNGKey(1)),
+        has_aux=True))(p)
     assert np.isfinite(float(loss))
     assert "reward_loss" in m
-    loss2, m2 = muvla_loss(p, CFG, _batch(with_reward=False), jax.random.PRNGKey(1))
+    loss2, m2 = jax.jit(lambda pp: muvla_loss(
+        pp, CFG, _batch(with_reward=False), jax.random.PRNGKey(1)))(p)
     assert "reward_loss" not in m2
-    g = jax.grad(lambda pp: muvla_loss(pp, CFG, _batch(), jax.random.PRNGKey(1))[0])(p)
     assert float(jnp.abs(g["reward_head"]["w"]).sum()) > 0
     assert float(jnp.abs(g["qformer"]["queries"]).sum()) > 0
 

@@ -176,8 +176,8 @@ def test_packed_loss_cp_matches_plain():
     cp_fn = jax.jit(
         lambda p: navila_packed_loss_cp(p, cfg, batch, mesh, soft_tokens=soft)[0]
     )
-    ref, g_ref = jax.value_and_grad(ref_fn)(params)
-    got, g_cp = jax.value_and_grad(cp_fn)(params)
+    ref, g_ref = jax.jit(jax.value_and_grad(ref_fn))(params)
+    got, g_cp = jax.jit(jax.value_and_grad(cp_fn))(params)
     np.testing.assert_allclose(float(got), float(ref), rtol=2e-5)
     for (path, a), (_, b) in zip(
         jax.tree_util.tree_flatten_with_path(g_cp)[0],

@@ -51,9 +51,11 @@ def test_oft_loss_and_grads(head):
     cfg = _cfg(head, num_bins=64)
     params = init_oft(jax.random.PRNGKey(0), cfg)
     batch = _batch(cfg)
-    loss, m = oft_loss(params, cfg, batch, jax.random.PRNGKey(1))
+    # jitted value_and_grad: loss asserts + grad-flow in one compile
+    (loss, m), g = jax.jit(jax.value_and_grad(
+        lambda p: oft_loss(p, cfg, batch, jax.random.PRNGKey(1)),
+        has_aux=True))(params)
     assert np.isfinite(float(loss))
-    g = jax.grad(lambda p: oft_loss(p, cfg, batch, jax.random.PRNGKey(1))[0])(params)
     gn = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), g))
     assert np.isfinite(gn) and gn > 0
 

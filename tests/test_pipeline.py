@@ -44,6 +44,7 @@ def _inputs(B=4, T=16, seed=0):
     return ids, valid, positions, grp
 
 
+@jax.jit
 def _reference_hidden(params, ids, valid, positions, grp):
     x = embed_tokens(params, CFG, ids)
     out, _ = transformer_forward(CFG, params, x, positions, grp, valid)
@@ -57,9 +58,8 @@ def test_pp_forward_matches_scan():
 
     mesh = _mesh(stage=4, data=2)
     x = embed_tokens(params, CFG, ids)
-    out = pipeline_transformer_forward(
-        CFG, params, x, positions, grp, valid, mesh, n_micro=2
-    )
+    out = jax.jit(lambda p, x: pipeline_transformer_forward(
+        CFG, p, x, positions, grp, valid, mesh, n_micro=2))(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
@@ -69,9 +69,9 @@ def test_pp_forward_stage8_micro1_and_4():
     ref = _reference_hidden(params, ids, valid, positions, grp)
     x = embed_tokens(params, CFG, ids)
     for n_micro in (1, 4):
-        out = pipeline_transformer_forward(
-            CFG, params, x, positions, grp, valid, _mesh(stage=8), n_micro=n_micro
-        )
+        mesh8 = _mesh(stage=8)
+        out = jax.jit(lambda p, x, n=n_micro, m=mesh8: pipeline_transformer_forward(
+            CFG, p, x, positions, grp, valid, m, n_micro=n))(params, x)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
         )
@@ -101,8 +101,10 @@ def test_pp_loss_and_grads_match():
     def pp_loss(params):
         return pipeline_causal_lm_loss(params, CFG, batch, mesh, n_micro=2)
 
-    l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
-    l_pp, g_pp = jax.value_and_grad(pp_loss)(params)
+    # jit the AD: eager reverse-mode dispatches op-by-op on the 1-core host
+    # (~30s); jitted it compiles once and hits the persistent cache warm
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref_loss))(params)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(pp_loss))(params)
     np.testing.assert_allclose(float(l_pp), float(l_ref), rtol=2e-3)
     flat_ref = jax.tree.leaves(g_ref)
     flat_pp = jax.tree.leaves(g_pp)
@@ -204,19 +206,19 @@ def test_pp_mot_forward_matches_mot():
     mask, grp, positions = _positions_and_grp(
         prefix_mask, prefix_ar, suffix_mask, suffix_ar
     )
-    ref, _ = mot_forward(
-        [Stream(cfg.llm, params["vlm"]["llm"], prefix_tokens),
-         Stream(cfg.expert, params["expert"], suffix_tokens)],
+    ref, _ = jax.jit(lambda p, pt, st: mot_forward(
+        [Stream(cfg.llm, p["vlm"]["llm"], pt),
+         Stream(cfg.expert, p["expert"], st)],
         positions=positions, q_grp=grp, q_valid=mask,
-    )
+    ))(params, prefix_tokens, suffix_tokens)
 
     mesh = _mesh(stage=2, data=2)
-    outs = pipeline_mot_forward(
+    outs = jax.jit(lambda p, pt, st: pipeline_mot_forward(
         (cfg.llm, cfg.expert),
-        (params["vlm"]["llm"], params["expert"]),
-        (prefix_tokens, suffix_tokens),
+        (p["vlm"]["llm"], p["expert"]),
+        (pt, st),
         positions, grp, mask, mesh, n_micro=2,
-    )
+    ))(params, prefix_tokens, suffix_tokens)
     for o, r2 in zip(outs, ref):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r2),
                                    rtol=2e-4, atol=2e-4)
@@ -232,16 +234,16 @@ def test_pp_flow_vla_loss_and_grads_match():
         cfg, params = _pi0_cfg_params(adarms=adarms)
         batch = _flow_batch(cfg)
         rng = jax.random.PRNGKey(9)
-        ref_loss, _ = flow_vla_loss(params, cfg, batch, rng)
         mesh = _mesh(stage=2, data=2)
-        pp_loss, _ = pipeline_flow_vla_loss(params, cfg, batch, rng, mesh, n_micro=2)
+        # one jitted value_and_grad per side: loss and grads from a single
+        # trace, compiled once (persistent-cache-warm) instead of eager AD
+        ref_loss, g_ref = jax.jit(jax.value_and_grad(
+            lambda p: flow_vla_loss(p, cfg, batch, rng)[0]))(params)
+        pp_loss, g_pp = jax.jit(jax.value_and_grad(
+            lambda p: pipeline_flow_vla_loss(p, cfg, batch, rng, mesh,
+                                             n_micro=2)[0]))(params)
         np.testing.assert_allclose(float(pp_loss), float(ref_loss),
                                    rtol=2e-4, atol=2e-4)
-
-        g_ref = jax.grad(lambda p: flow_vla_loss(p, cfg, batch, rng)[0])(params)
-        g_pp = jax.grad(
-            lambda p: pipeline_flow_vla_loss(p, cfg, batch, rng, mesh, n_micro=2)[0]
-        )(params)
         flat_r, _ = jax.tree_util.tree_flatten(g_ref)
         flat_p, _ = jax.tree_util.tree_flatten(g_pp)
         for a, b in zip(flat_r, flat_p):

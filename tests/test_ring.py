@@ -96,8 +96,8 @@ def test_ring_grads_match_xla():
         out = attention_xla(q, k, v, grp, grp, valid, q_seg=seg, kv_seg=seg)
         return jnp.sum(jnp.sin(out) * 0.01)
 
-    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
-    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_xla = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
     for a, b, name in zip(g_ring, g_xla, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=3e-5, err_msg=name)
@@ -138,8 +138,8 @@ def test_ring_decoder_train_step_matches_single_device():
         return f
 
     ref_loss_fn = local_loss(CFG)
-    ref = ref_loss_fn(params, ids, positions, grp, valid, seg, target)
-    g_ref = jax.grad(ref_loss_fn)(params, ids, positions, grp, valid, seg, target)
+    ref, g_ref = jax.jit(jax.value_and_grad(ref_loss_fn))(
+        params, ids, positions, grp, valid, seg, target)
 
     def cp_f(params, ids, positions, grp, valid, seg, target):
         l = local_loss(cfg_ring)(params, ids, positions, grp, valid, seg, target)
@@ -153,7 +153,8 @@ def test_ring_decoder_train_step_matches_single_device():
     got = cp_loss(params, ids, positions, grp, valid, seg, target)
     np.testing.assert_allclose(float(got), float(ref), atol=1e-6, rtol=1e-6)
 
-    g_cp = jax.grad(lambda p: cp_loss(p, ids, positions, grp, valid, seg, target))(params)
+    g_cp = jax.jit(jax.grad(
+        lambda p: cp_loss(p, ids, positions, grp, valid, seg, target)))(params)
     flat_cp = {jax.tree_util.keystr(p): l
                for p, l in jax.tree_util.tree_flatten_with_path(g_cp)[0]}
     for path, leaf in jax.tree_util.tree_flatten_with_path(g_ref)[0]:

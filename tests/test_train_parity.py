@@ -185,7 +185,7 @@ def test_cogact_training_parity(ref_env, clip_dir):
             diffusion_noise=jnp.asarray(noise_pin),
         )[0]
 
-    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    loss, our_g = jax.jit(jax.value_and_grad(loss_fn))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -303,7 +303,7 @@ def test_pi0_training_parity(ref_env, siglip_dir):
             noise=jnp.asarray(noise_pin), time=jnp.asarray(time_pin),
         )[0]
 
-    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    loss, our_g = jax.jit(jax.value_and_grad(loss_fn))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -386,9 +386,9 @@ def test_oft_l1_training_parity(ref_env, clip_dir):
         "actions": jnp.asarray(actions),
         "states": jnp.asarray(states),
     }
-    loss, our_g = jax.value_and_grad(
+    loss, our_g = jax.jit(jax.value_and_grad(
         lambda p: oft_loss(p, cfg, batch, jax.random.PRNGKey(0))[0]
-    )(params)
+    ))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -483,13 +483,13 @@ def test_oft_diffusion_training_parity(ref_env, clip_dir):
         "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
         "actions": jnp.asarray(actions),
     }
-    loss, our_g = jax.value_and_grad(
+    loss, our_g = jax.jit(jax.value_and_grad(
         lambda p: oft_loss(
             p, cfg, batch, jax.random.PRNGKey(0),
             diffusion_t=jnp.asarray(t_pin, jnp.int32),
             diffusion_noise=jnp.asarray(noise_pin),
         )[0]
-    )(params)
+    ))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -600,7 +600,7 @@ def test_memvla_training_parity(ref_env, clip_dir):
             diffusion_noise=jnp.asarray(noise_pin),
         )[0]
 
-    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    loss, our_g = jax.jit(jax.value_and_grad(loss_fn))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -726,7 +726,7 @@ def test_dm0_training_parity(ref_env, siglip_dir):
             noise=jnp.asarray(noise_pin), time=jnp.asarray(time_pin),
         )[0]
 
-    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    loss, our_g = jax.jit(jax.value_and_grad(loss_fn))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -863,10 +863,10 @@ def test_navila_training_parity(ref_env, siglip42_dir):
         "images": jnp.asarray(imgs.transpose(0, 1, 3, 4, 2)),
         "labels": labels,
     }
-    loss, our_g = jax.value_and_grad(
+    loss, our_g = jax.jit(jax.value_and_grad(
         lambda p: navila_loss(p, cfg, batch,
                               soft_tokens=jnp.asarray(soft_ids))[0]
-    )(params)
+    ))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -988,7 +988,7 @@ def test_hybrid_cogact_training_parity(ref_env, clip_dir):
         )
         return loss, m
 
-    (loss, metrics), our_g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    (loss, metrics), our_g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
     np.testing.assert_allclose(float(metrics["text_loss"]), text_ref, atol=ATOL)
     np.testing.assert_allclose(float(metrics["action_loss"]), action_ref, atol=ATOL)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
@@ -1110,7 +1110,7 @@ def test_pi05_training_parity(ref_env, siglip_dir):
             noise=jnp.asarray(noise_pin), time=jnp.asarray(time_pin),
         )[0]
 
-    loss, our_g = jax.value_and_grad(loss_fn)(params)
+    loss, our_g = jax.jit(jax.value_and_grad(loss_fn))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -1200,9 +1200,9 @@ def test_discrete_vla_training_parity(ref_env, clip_dir):
         "images": jnp.asarray(img.transpose(0, 2, 3, 1))[:, None],
         "labels": labels,
     }
-    loss, our_g = jax.value_and_grad(
+    loss, our_g = jax.jit(jax.value_and_grad(
         lambda p: discrete_vla_loss(p, cfg, batch)[0]
-    )(params)
+    ))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [
@@ -1329,9 +1329,9 @@ def test_muvla_training_parity(ref_env, tmp_path):
         "obs_images": jnp.asarray(obs_stack.transpose(0, 1, 3, 4, 2)),
         "reward": jnp.asarray(reward),
     }
-    (loss, metrics), our_g = jax.value_and_grad(
+    (loss, metrics), our_g = jax.jit(jax.value_and_grad(
         lambda p: muvla_loss(p, cfg, batch), has_aux=True
-    )(params)
+    ))(params)
     np.testing.assert_allclose(float(loss), loss_ref, atol=ATOL)
     _check_grads(
         [

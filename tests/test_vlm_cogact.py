@@ -94,10 +94,12 @@ def _batch(B=2):
 
 def test_cogact_loss_finite_and_grad():
     p = init_cogact(jax.random.PRNGKey(0), COG)
-    loss, metrics = cogact_loss(p, COG, _batch(), jax.random.PRNGKey(3))
+    # jitted value_and_grad: loss asserts + grad-flow in one compile
+    (loss, metrics), g = jax.jit(jax.value_and_grad(
+        lambda pp: cogact_loss(pp, COG, _batch(), jax.random.PRNGKey(3)),
+        has_aux=True))(p)
     assert np.isfinite(float(loss))
     assert "action_loss" in metrics
-    g = jax.grad(lambda pp: cogact_loss(pp, COG, _batch(), jax.random.PRNGKey(3))[0])(p)
     gnorm = jax.tree.reduce(lambda a, b: a + b, jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), g))
     assert np.isfinite(gnorm) and gnorm > 0
 
