@@ -12,7 +12,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap codegen at base AVX512: this VM live-migrates between heterogeneous
+# hosts and persistent-cache AOT executables compiled with +amx-*/+avx512bf16
+# on one host SIGILL-abort on another (the round 4/5 "abort window" —
+# cpu_aot_loader logs the machine-feature mismatch).  Every observed host
+# supports base AVX512, so capping makes cache entries portable; the flag is
+# part of the cache key, so old host-specific entries are orphaned, not
+# mis-loaded.  Remaining prefer-no-gather/scatter mismatches are pure LLVM
+# tuning preferences (they only avoid emitting gathers) — warn-only, safe.
+if "xla_cpu_max_isa" not in _flags:
+    _flags = (_flags + " --xla_cpu_max_isa=AVX512").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -21,7 +32,7 @@ jax.config.update("jax_platforms", "cpu")
 # compile-dominated — training-step grads at ~1-2 min each on first build)
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
@@ -34,14 +45,17 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "heavy: multi-minute compile-heavy e2e test")
 
 
-# The sharded GRPO update executable trips a NONDETERMINISTIC segfault inside
-# XLA:CPU executable (de)serialization when the persistent cache is touched
-# deep into a full-suite process: observed once in put_executable_and_time and
-# once in get_executable_and_time, always at the rl_trainer _step compile ~200
-# tests in, while standalone runs of the same tests read AND write the same
-# entry fine.  Compile these modules' programs fresh instead of caching them —
-# the flag flip is per-test and costs only those modules' compiles.
-_NO_PERSISTENT_CACHE_MODULES = {"test_rl", "test_exps_smoke"}
+# Round-4 mitigation for the abort window, kept as an env-var escape hatch:
+# the GRPO update executable tripped nondeterministic segfaults inside XLA:CPU
+# executable (de)serialization deep into full-suite runs.  Round 5 pinned the
+# root cause (cross-host AOT machine-feature mismatch, see the
+# --xla_cpu_max_isa note above) and fixed it at compile level, so these
+# modules use the shared cache again by default; set
+# DEXBOTIC_NO_CACHE_MODULES=test_rl,test_exps_smoke to restore the old
+# fresh-compile behavior if a new window signature ever appears.
+_NO_PERSISTENT_CACHE_MODULES = {
+    m for m in os.environ.get("DEXBOTIC_NO_CACHE_MODULES", "").split(",") if m
+}
 
 
 @pytest.fixture(autouse=True)
