@@ -21,9 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in _flags:
+    # host-portable persistent-cache entries (see tests/conftest.py note)
+    _flags = (_flags + " --xla_cpu_max_isa=AVX512").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -15,7 +15,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = textwrap.dedent("""
     import json, os, sys
     sys.path.insert(0, os.environ["MH_REPO"])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                           "--xla_cpu_max_isa=AVX512")  # host-portable cache (conftest note)
     import jax
     jax.config.update("jax_platforms", "cpu")
     # per-process-id persistent cache: repeat suite runs skip the worker
@@ -113,7 +114,8 @@ def test_two_process_train_and_resume(tmp_path):
 RL_WORKER = textwrap.dedent("""
     import os, sys
     sys.path.insert(0, os.environ["MH_REPO"])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                           "--xla_cpu_max_isa=AVX512")  # host-portable cache (conftest note)
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -183,7 +185,8 @@ def test_two_process_uneven_rollout_allgather(tmp_path):
 SKEW_WORKER = textwrap.dedent("""
     import json, os, sys, time
     sys.path.insert(0, os.environ["MH_REPO"])
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                           "--xla_cpu_max_isa=AVX512")  # host-portable cache (conftest note)
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", os.path.join(
