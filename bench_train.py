@@ -56,6 +56,13 @@ BASELINE_KIND = ("a100-bf16-peak-x40pct-train-mfu-flop-bound "
 ROWS = ("cogact_05b_full", "cogact_1b_freeze", "pi0_1b_freeze",
         "oft_l1_1b_freeze", "memvla_1b_freeze", "navila_pack4k_freeze")
 
+# remat policy for the measured step: "full" (per-layer recompute, memory-
+# tightest), "dots" (jax dots_saveable: keep matmul outputs, recompute only
+# the elementwise chain -- recovers most recompute FLOPs when the model
+# fits), or "none".  Measured study in BENCH_NOTES round 5.
+REMAT = {"full": True, "dots": "dots", "none": False}[
+    os.environ.get("BENCH_TRAIN_REMAT", "full")]
+
 
 def _n_params(tree):
     import jax
@@ -101,6 +108,7 @@ def report(metric, B, dt, train_flops_per_sample, extra=None):
         "achieved_tflops": round(tflops, 1),
         "mfu": round(mfu, 3),
         "tflop_per_sample": round(train_flops_per_sample / 1e12, 3),
+        "remat": os.environ.get("BENCH_TRAIN_REMAT", "full"),
         **(extra or {}),
     }
     print(json.dumps(rec))
@@ -191,7 +199,7 @@ def row_cogact(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _ = cogact_loss(_sg(p, freeze), cfg, batch, k_d, remat=True)
+            loss, _ = cogact_loss(_sg(p, freeze), cfg, batch, k_d, remat=REMAT)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -254,7 +262,7 @@ def row_pi0(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _ = flow_vla_loss(_sg(p, freeze), cfg, batch, k_d, remat=True)
+            loss, _ = flow_vla_loss(_sg(p, freeze), cfg, batch, k_d, remat=REMAT)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -326,7 +334,7 @@ def row_oft(scale: str, freeze: str, B: int, iters: int):
         }
 
         def lf(p):
-            loss, _ = oft_loss(_sg(p, freeze), cfg, batch, k_d, remat=True)
+            loss, _ = oft_loss(_sg(p, freeze), cfg, batch, k_d, remat=REMAT)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)
@@ -477,7 +485,7 @@ def row_navila(scale: str, freeze: str, B_rows: int, iters: int,
         )
 
         def lf(p):
-            loss, _ = navila_packed_loss(_sg(p, freeze), cfg, batch, remat=True)
+            loss, _ = navila_packed_loss(_sg(p, freeze), cfg, batch, remat=REMAT)
             return loss
 
         loss, grads = jax.value_and_grad(lf)(params)

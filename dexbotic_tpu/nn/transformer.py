@@ -213,7 +213,7 @@ def mot_forward(
     q_valid: jnp.ndarray,  # int/bool[B, T]
     cache: Optional[dict] = None,
     update_cache: bool = False,
-    remat: bool = False,
+    remat=False,  # False | True (full per-layer) | "dots" (save matmul outs)
     q_seg: Optional[jnp.ndarray] = None,  # int[B, T] packed-sequence ids
     write_cols: Optional[jnp.ndarray] = None,  # int[B] per-row cache columns
     want_aux: bool = False,  # also return {"moe_aux": scalar} (MoE LB loss)
@@ -381,7 +381,15 @@ def mot_forward(
 
         return tuple(new_embeds), (new_cache_kv, aux)
 
-    if remat:
+    if remat == "dots":
+        # selective remat: keep every matmul output of the layer forward,
+        # recompute only the cheap elementwise/norm chain on backward —
+        # near-zero recompute FLOPs at a fraction of full-save memory.
+        # Right when the model fits with it; `True` stays the memory-
+        # tightest choice (4k packed, 7b-class, RL updates).
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.dots_saveable)
+    elif remat:
         body = jax.checkpoint(body)
 
     layer_xs = {"layers": tuple(s.params["layers"] for s in streams)}

@@ -178,7 +178,11 @@ def vit_forward(params, cfg: ViTConfig, images: jnp.ndarray,
         return x1 + m, None
 
     layers = jax.tree.map(lambda p: p[:n_layers], params["layers"])
-    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, layers)
+    if remat == "dots":  # save matmul outs, recompute elementwise only
+        body = jax.checkpoint(body, policy=jax.checkpoint_policies.dots_saveable)
+    elif remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, layers)
 
     if cfg.select_layer is None:
         x = layer_norm(x, params["post_ln"]["w"], params["post_ln"]["b"], cfg.ln_eps)
